@@ -1,0 +1,174 @@
+"""Signal preprocessing as fixed-shape JAX ops, fused into the classify jit.
+
+Reference parity: ``deepbinner/trim_signal.py`` (normalise, open-pore/stall
+trimming) and the scan-region windowing inside ``deepbinner/classify.py``
+(SURVEY.md §2 items 2 & 9, §3.1).  The reference does this per-read in numpy
+on the host; here the whole batch is one XLA computation so trim → normalise
+→ window fuses with the CNN and never bounces through HBM↔host.
+
+Design notes (TPU-first):
+- Everything is fixed shape: a batch is ``(B, S)`` int16 signal padded to the
+  static scan buffer ``S`` plus an ``(B,)`` int32 length vector.  Short reads
+  are handled by masks, never by dynamic shapes (no recompiles).
+- The open-pore trim uses a rolling-variance scan implemented with cumulative
+  sums at static offsets — pure vector ops on the VPU, no data-dependent
+  Python control flow.
+- Windowing materialises ``(B, W, window)`` via static strided slices, which
+  XLA fuses into the consumer conv's input gather.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class PreprocessConfig:
+    """Static preprocessing geometry (baked into the jit).
+
+    Defaults mirror the reference CLI defaults where known (scan_size 6144,
+    CNN input 1024 — SURVEY.md §6 model-geometry row); the rest are this
+    rebuild's choices, exposed as CLI flags.
+    """
+
+    scan_size: int = 6144          # samples of each read end examined
+    window: int = 1024             # CNN input width
+    stride: int = 512              # window stride across the scan region
+    trim_scan: int = 2048          # samples inspected for open-pore trimming
+    trim_window: int = 64          # rolling-variance window
+    trim_stride: int = 16          # rolling-variance stride
+    trim_threshold: float = 0.25   # fraction of global std that marks "real" signal
+
+    @property
+    def num_windows(self) -> int:
+        return (self.scan_size - self.window) // self.stride + 1
+
+    @property
+    def buffer_size(self) -> int:
+        """Host buffer per read end: trim headroom + scan region."""
+        return self.trim_scan + self.scan_size
+
+
+def normalise(signal: jnp.ndarray, axis: int = -1, eps: float = 1e-8) -> jnp.ndarray:
+    """Z-score normalisation along `axis` (reference trim_signal.normalise)."""
+    signal = signal.astype(jnp.float32)
+    mean = jnp.mean(signal, axis=axis, keepdims=True)
+    std = jnp.std(signal, axis=axis, keepdims=True)
+    return (signal - mean) / (std + eps)
+
+
+def _rolling_std(x: jnp.ndarray, window: int, stride: int) -> jnp.ndarray:
+    """Std of each length-`window` slice at static stride; x: (..., T).
+
+    Uses the cumsum trick so it is O(T) adds + a static gather, which XLA
+    vectorises on the VPU; no conv needed.
+    """
+    x = x.astype(jnp.float32)
+    t = x.shape[-1]
+    n_out = (t - window) // stride + 1
+    zeros = jnp.zeros(x.shape[:-1] + (1,), x.dtype)
+    c1 = jnp.concatenate([zeros, jnp.cumsum(x, axis=-1)], axis=-1)
+    c2 = jnp.concatenate([zeros, jnp.cumsum(x * x, axis=-1)], axis=-1)
+    starts = jnp.arange(n_out) * stride
+    s1 = c1[..., starts + window] - c1[..., starts]
+    s2 = c2[..., starts + window] - c2[..., starts]
+    mean = s1 / window
+    var = jnp.maximum(s2 / window - mean * mean, 0.0)
+    return jnp.sqrt(var)
+
+
+def find_signal_start(region: jnp.ndarray, cfg: PreprocessConfig) -> jnp.ndarray:
+    """Index where real read signal begins within `region` (..., trim_scan).
+
+    Open-pore / stall current is flat (low variance) compared to strand
+    translocation signal; the first rolling window whose std exceeds
+    ``trim_threshold`` × the region's global std marks the start.  Returns 0
+    when nothing exceeds the threshold (nothing to trim — matches the
+    reference's "give up and keep the signal" behaviour).
+    """
+    region = region.astype(jnp.float32)
+    global_std = jnp.std(region, axis=-1, keepdims=True)
+    win_std = _rolling_std(region, cfg.trim_window, cfg.trim_stride)
+    good = win_std >= cfg.trim_threshold * global_std
+    any_good = jnp.any(good, axis=-1)
+    first = jnp.argmax(good, axis=-1)  # first True (argmax of bool)
+    return jnp.where(any_good, first * cfg.trim_stride, 0).astype(jnp.int32)
+
+
+def extract_scan_region(
+    signal: jnp.ndarray,
+    lengths: jnp.ndarray,
+    cfg: PreprocessConfig,
+    end: str = "start",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Trim open-pore signal and cut the scan region from a padded batch.
+
+    Args:
+      signal: ``(B, buffer)`` raw DAC values.  For ``end='start'`` this is the
+        *first* ``buffer`` samples of each read; for ``end='end'`` it is the
+        *last* ``buffer`` samples **reversed** by the host reader, so the trim
+        logic is identical for both ends (reference classify.py takes the last
+        scan_size samples for the end model).
+      lengths: ``(B,)`` number of valid samples in each row (≤ buffer).
+
+    Returns:
+      region: ``(B, scan_size)`` float32 scan region (zero-padded past length)
+      valid: ``(B,)`` int32 number of valid samples within the region
+    """
+    del end  # both ends share one code path; the host reverses end-signal
+    buffer = cfg.buffer_size
+    if signal.shape[-1] != buffer:
+        raise ValueError(
+            f"expected signal buffer {buffer}, got {signal.shape[-1]}"
+        )
+    signal = signal.astype(jnp.float32)
+    positions = jnp.arange(buffer)[None, :]
+    mask = positions < lengths[:, None]
+    signal = signal * mask  # zero out padding so stats ignore garbage scale
+
+    trim_region = signal[:, : cfg.trim_scan]
+    trim_pos = find_signal_start(trim_region, cfg)
+    # Never trim so far that fewer than `window` samples remain.
+    max_trim = jnp.maximum(lengths - cfg.window, 0)
+    trim_pos = jnp.minimum(trim_pos, max_trim).astype(jnp.int32)
+
+    region = jax.vmap(
+        lambda row, start: jax.lax.dynamic_slice(row, (start,), (cfg.scan_size,))
+    )(signal, trim_pos)
+    valid = jnp.clip(lengths - trim_pos, 0, cfg.scan_size).astype(jnp.int32)
+    return region, valid
+
+
+def window_scan_region(
+    region: jnp.ndarray, valid: jnp.ndarray, cfg: PreprocessConfig
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Cut ``(B, scan_size)`` into normalised ``(B, W, window)`` CNN inputs.
+
+    Each window is z-scored independently (the reference normalises each CNN
+    input chunk).  ``window_mask[b, w]`` is True when window w lies entirely
+    within valid samples; reads shorter than one window get an all-False mask
+    (→ "none" call downstream).
+    """
+    windows = jnp.stack(
+        [
+            region[:, w * cfg.stride : w * cfg.stride + cfg.window]
+            for w in range(cfg.num_windows)
+        ],
+        axis=1,
+    )
+    windows = normalise(windows, axis=-1)
+    ends = jnp.arange(cfg.num_windows) * cfg.stride + cfg.window
+    window_mask = ends[None, :] <= valid[:, None]
+    return windows, window_mask
+
+
+def preprocess_batch(
+    signal: jnp.ndarray, lengths: jnp.ndarray, cfg: PreprocessConfig
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full preprocessing: trim → scan region → normalised windows + mask."""
+    region, valid = extract_scan_region(signal, lengths, cfg)
+    return window_scan_region(region, valid, cfg)

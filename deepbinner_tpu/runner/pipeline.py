@@ -1,0 +1,150 @@
+"""The fused classify program: trim → normalise → window → CNN → call, one jit.
+
+Reference parity: the body of ``deepbinner/classify.py::classify_fast5_files``
+(SURVEY.md §3.1) — but where the reference interleaves numpy preprocessing
+with ``model.predict`` calls, here the entire per-batch computation is a
+single XLA program.  The host's only jobs are reading fast5s into fixed-shape
+buffers and formatting TSV rows from the compact call table that comes back.
+
+The program is compiled once per (batch_bucket, config) and cached; weights
+are passed as arguments (not baked in) so start/end models share one
+executable shape.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from deepbinner_tpu.models.network import DemuxNet, NetworkConfig
+from deepbinner_tpu.ops.calling import (
+    CallingConfig,
+    call_one_end,
+    combine_window_probs,
+    reconcile_calls,
+)
+from deepbinner_tpu.ops.preprocess import PreprocessConfig, preprocess_batch
+
+
+class CallTable(NamedTuple):
+    """Per-batch device output — everything the host needs for TSV rows."""
+
+    calls: jnp.ndarray        # (B,) int32 final class index (0 = none)
+    start_calls: jnp.ndarray  # (B,) int32 start-model call
+    end_calls: jnp.ndarray    # (B,) int32 end-model call (== start when single)
+    start_probs: jnp.ndarray  # (B, C) combined start probabilities
+    end_probs: jnp.ndarray    # (B, C) combined end probabilities (zeros when single)
+
+
+@dataclasses.dataclass(frozen=True)
+class ClassifyConfig:
+    """Everything static about a classify run."""
+
+    preprocess: PreprocessConfig = PreprocessConfig()
+    calling: CallingConfig = CallingConfig()
+    dual_model: bool = False
+
+
+def _one_end_probs(
+    model: DemuxNet,
+    variables: dict,
+    signal: jnp.ndarray,
+    lengths: jnp.ndarray,
+    pre_cfg: PreprocessConfig,
+) -> jnp.ndarray:
+    """(B, buffer) signal → (B, C) combined probabilities for one read end."""
+    windows, mask = preprocess_batch(signal, lengths, pre_cfg)
+    batch, num_windows, width = windows.shape
+    logits = model.apply(
+        variables, windows.reshape(batch * num_windows, width, 1), train=False
+    )
+    probs = jax.nn.softmax(logits, axis=-1)
+    probs = probs.reshape(batch, num_windows, -1)
+    return combine_window_probs(probs, mask)
+
+
+def classify_step(
+    model: DemuxNet,
+    cfg: ClassifyConfig,
+    start_variables: dict,
+    end_variables: Optional[dict],
+    start_signal: jnp.ndarray,
+    start_lengths: jnp.ndarray,
+    end_signal: Optional[jnp.ndarray] = None,
+    end_lengths: Optional[jnp.ndarray] = None,
+) -> CallTable:
+    """Pure function computing the call table for one padded batch."""
+    start_probs = _one_end_probs(
+        model, start_variables, start_signal, start_lengths, cfg.preprocess
+    )
+    start_call = call_one_end(start_probs, cfg.calling)
+
+    if cfg.dual_model:
+        assert end_variables is not None and end_signal is not None
+        end_probs = _one_end_probs(
+            model, end_variables, end_signal, end_lengths, cfg.preprocess
+        )
+        end_call = call_one_end(end_probs, cfg.calling)
+        final = reconcile_calls(start_call, end_call, cfg.calling)
+    else:
+        end_probs = jnp.zeros_like(start_probs)
+        end_call = start_call
+        final = start_call
+
+    return CallTable(final, start_call, end_call, start_probs, end_probs)
+
+
+class ClassifyProgram:
+    """A compiled classify step bound to a model architecture + config.
+
+    One instance per run; `__call__` dispatches to a jit cached per batch
+    shape (the executor buckets batch sizes so there are at most two shapes).
+    """
+
+    def __init__(
+        self,
+        model: DemuxNet,
+        cfg: ClassifyConfig,
+        start_variables: dict,
+        end_variables: Optional[dict] = None,
+    ) -> None:
+        if cfg.dual_model and end_variables is None:
+            raise ValueError("dual_model requires end_variables")
+        self.model = model
+        self.cfg = cfg
+        self.start_variables = start_variables
+        self.end_variables = end_variables
+        # No buffer donation: the (B, buffer) input can't alias any output
+        # shape, so donation would only generate copies + warnings.
+        self._jitted = jax.jit(functools.partial(classify_step, model, cfg))
+
+    def __call__(
+        self,
+        start_signal,
+        start_lengths,
+        end_signal=None,
+        end_lengths=None,
+    ) -> CallTable:
+        return self._jitted(
+            self.start_variables,
+            self.end_variables,
+            jnp.asarray(start_signal),
+            jnp.asarray(start_lengths),
+            None if end_signal is None else jnp.asarray(end_signal),
+            None if end_lengths is None else jnp.asarray(end_lengths),
+        )
+
+    def warm_up(self, batch_size: int) -> None:
+        """Compile ahead of time for a batch size (realtime latency budget)."""
+        buf = self.cfg.preprocess.buffer_size
+        sig = jnp.zeros((batch_size, buf), jnp.float32)
+        lengths = jnp.full((batch_size,), buf, jnp.int32)
+        if self.cfg.dual_model:
+            out = self(sig, lengths, sig, lengths)
+        else:
+            out = self(sig, lengths)
+        jax.block_until_ready(out.calls)

@@ -1,0 +1,125 @@
+"""fast5 (HDF5) raw-signal reading and writing.
+
+Reference parity: ``deepbinner/load_fast5s.py::find_all_fast5s`` /
+``get_read_id_and_signal`` (SURVEY.md §2 item 10).  The reference reads the
+albacore-era *single-read* layout ``Raw/Reads/Read_*/Signal`` with the read id
+in the ``read_id`` attribute.  The rebuild also understands the *multi-read*
+layout (``/read_<uuid>/Raw/Signal``) so modern MinKNOW output works.
+
+Two backends:
+
+- :func:`get_read_id_and_signal` — h5py (always available);
+- :mod:`deepbinner_tpu.native.fast5_reader` — a C++ batch reader over
+  libhdf5 used by the streaming executor when built (it reads many files per
+  call off the GIL); the h5py path is the behavioural reference for it.
+
+Writing (:func:`write_single_read_fast5`) exists for fixtures, the signal
+simulator, and tests; the reference never writes fast5s.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+
+def find_all_fast5s(directory: str | os.PathLike) -> List[str]:
+    """Recursively find ``*.fast5`` under `directory`, sorted.
+
+    The reference walks with os.walk; we additionally *sort* the result so
+    that multi-host file sharding (stride by process index) is deterministic
+    regardless of filesystem enumeration order (SURVEY.md §7 build step 6).
+    """
+    fast5s: List[str] = []
+    for root, _dirs, files in os.walk(directory):
+        for name in files:
+            if name.endswith(".fast5"):
+                fast5s.append(os.path.join(root, name))
+    return sorted(fast5s)
+
+
+def _iter_single_read_layout(handle) -> Iterator[Tuple[str, np.ndarray]]:
+    reads_group = handle.get("Raw/Reads")
+    if reads_group is None:
+        return
+    for read_name in reads_group:
+        read = reads_group[read_name]
+        if "Signal" not in read:
+            continue
+        read_id = read.attrs.get("read_id", read_name)
+        if isinstance(read_id, bytes):
+            read_id = read_id.decode()
+        yield str(read_id), np.asarray(read["Signal"][:], dtype=np.int16)
+
+
+def _iter_multi_read_layout(handle) -> Iterator[Tuple[str, np.ndarray]]:
+    for key in handle:
+        if not key.startswith("read_"):
+            continue
+        group = handle[key]
+        raw = group.get("Raw")
+        if raw is None or "Signal" not in raw:
+            continue
+        read_id = raw.attrs.get("read_id", key[len("read_"):])
+        if isinstance(read_id, bytes):
+            read_id = read_id.decode()
+        yield str(read_id), np.asarray(raw["Signal"][:], dtype=np.int16)
+
+
+def iterate_reads_in_fast5(path: str | os.PathLike) -> Iterator[Tuple[str, np.ndarray]]:
+    """Yield (read_id, int16 raw signal) for every read in a fast5 file."""
+    import h5py  # deferred: bin subcommand must not pay for h5py/libhdf5
+
+    with h5py.File(path, "r") as handle:
+        yield from _iter_single_read_layout(handle)
+        yield from _iter_multi_read_layout(handle)
+
+
+def get_read_id_and_signal(
+    path: str | os.PathLike,
+) -> Tuple[Optional[str], Optional[np.ndarray]]:
+    """First read's (read_id, signal), or (None, None) if unreadable.
+
+    Matches the reference's per-file error tolerance: realtime mode must skip
+    files still being written by MinKNOW (SURVEY.md §5 failure-detection row).
+    """
+    try:
+        for read_id, signal in iterate_reads_in_fast5(path):
+            return read_id, signal
+        return None, None
+    except (OSError, KeyError, ValueError):
+        return None, None
+
+
+def write_single_read_fast5(
+    path: str | os.PathLike,
+    read_id: str,
+    signal: np.ndarray,
+    read_number: int = 0,
+) -> None:
+    """Write a single-read (albacore-layout) fast5: Raw/Reads/Read_N/Signal."""
+    import h5py
+
+    signal = np.asarray(signal, dtype=np.int16)
+    with h5py.File(path, "w") as handle:
+        group = handle.create_group(f"Raw/Reads/Read_{read_number}")
+        group.attrs["read_id"] = read_id
+        group.attrs["read_number"] = read_number
+        group.create_dataset("Signal", data=signal, dtype="<i2")
+
+
+def write_multi_read_fast5(
+    path: str | os.PathLike, reads: List[Tuple[str, np.ndarray]]
+) -> None:
+    """Write a multi-read fast5: /read_<id>/Raw/Signal."""
+    import h5py
+
+    with h5py.File(path, "w") as handle:
+        for read_id, signal in reads:
+            raw = handle.create_group(f"read_{read_id}/Raw")
+            raw.attrs["read_id"] = read_id
+            raw.create_dataset(
+                "Signal", data=np.asarray(signal, dtype=np.int16), dtype="<i2"
+            )

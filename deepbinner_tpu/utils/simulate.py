@@ -1,0 +1,236 @@
+"""Synthetic nanopore squiggle simulator.
+
+The reference repo relies on externally-hosted real sequencing data for
+training and evaluation (SURVEY.md §4) — none of which is available in this
+build environment (the mount is empty, SURVEY.md §0).  This module generates
+self-consistent synthetic data instead, providing:
+
+- fast5 fixtures for unit/e2e tests,
+- labelled training data for ``prep``/``balance``/``train``,
+- ground-truth barcode assignments for the accuracy benchmark.
+
+The physics is a deliberately simple pore model — k-mer → current level via
+a seeded hash, geometric dwell times, Gaussian noise, an open-pore segment at
+read start/end — enough to make barcode classification a real (non-trivial,
+non-impossible) signal-processing task with the same shape as the real one.
+
+Barcode/adapter sequences are deterministic synthetic stand-ins, NOT the real
+ONT sequences; swap :func:`barcode_sequences` for a data file of real kit
+sequences when reproducing results on real runs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from deepbinner_tpu import KITS, NUM_BARCODES
+from deepbinner_tpu.utils.fast5 import write_single_read_fast5
+
+BASES = "ACGT"
+KMER = 6
+
+# Signal model constants (roughly MinION R9.4-shaped, in DAC units).
+OPEN_PORE_LEVEL = 560.0
+OPEN_PORE_NOISE = 6.0
+SIGNAL_MEAN = 450.0
+SIGNAL_SPREAD = 55.0
+SIGNAL_NOISE = 14.0
+MEAN_DWELL = 9.0  # samples per base
+
+
+def _seeded_rng(*parts: str) -> np.random.Generator:
+    digest = hashlib.sha256("|".join(parts).encode()).digest()
+    return np.random.default_rng(np.frombuffer(digest[:16], dtype=np.uint64))
+
+
+def random_dna(rng: np.random.Generator, length: int) -> str:
+    return "".join(BASES[i] for i in rng.integers(0, 4, length))
+
+
+def barcode_sequences(kit: str) -> List[str]:
+    """Deterministic synthetic barcode sequences for a kit (24-mers)."""
+    if kit not in KITS:
+        raise ValueError(f"unknown kit {kit!r}; choose from {KITS}")
+    return [
+        random_dna(_seeded_rng("barcode", kit, str(i)), 24)
+        for i in range(1, NUM_BARCODES + 1)
+    ]
+
+
+def adapter_sequence(kit: str, end: str) -> str:
+    """Synthetic adapter flanking the barcode (fixed per kit/end)."""
+    return random_dna(_seeded_rng("adapter", kit, end), 40)
+
+
+def reverse_complement(seq: str) -> str:
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    return "".join(comp[b] for b in reversed(seq))
+
+
+def _kmer_level(kmer: str) -> float:
+    """Pore model: deterministic pseudo-random current level per k-mer."""
+    rng = _seeded_rng("pore-model", kmer)
+    return SIGNAL_MEAN + SIGNAL_SPREAD * rng.standard_normal()
+
+
+def sequence_to_squiggle(
+    seq: str, rng: np.random.Generator
+) -> Tuple[np.ndarray, np.ndarray]:
+    """DNA → (float signal, per-base dwell counts).
+
+    Returns the raw (un-digitised) signal and the number of samples emitted
+    for each base — the simulator's stand-in for the basecaller's move table,
+    which ``prep`` uses to map base coordinates back to signal coordinates
+    (SURVEY.md §3.4).
+    """
+    if len(seq) < KMER:
+        return np.zeros(0, np.float32), np.zeros(len(seq), np.int32)
+    levels = np.array(
+        [_kmer_level(seq[i : i + KMER]) for i in range(len(seq) - KMER + 1)],
+        np.float32,
+    )
+    dwells = np.zeros(len(seq), np.int32)
+    chunks = []
+    for i, level in enumerate(levels):
+        dwell = 1 + rng.geometric(1.0 / MEAN_DWELL)
+        dwells[i] = dwell
+        chunks.append(level + SIGNAL_NOISE * rng.standard_normal(dwell))
+    return np.concatenate(chunks).astype(np.float32), dwells
+
+
+@dataclasses.dataclass
+class SimulatedRead:
+    read_id: str
+    barcode: int               # 0 = no barcode
+    signal: np.ndarray         # int16 DAC
+    sequence: str              # "basecalled" bases (no open-pore)
+    dwells: np.ndarray         # per-base sample counts (move table stand-in)
+    signal_start_of_bases: int  # first signal sample belonging to sequence
+
+
+def simulate_read(
+    kit: str,
+    barcode: int,
+    rng: np.random.Generator,
+    genome_length: int = 2000,
+    open_pore_length: Optional[int] = None,
+    read_id: Optional[str] = None,
+) -> SimulatedRead:
+    """Simulate one read: [open pore] adapter+barcode+genomic(+barcode+adapter).
+
+    EXP-NBD103 reads carry the barcode at both ends (start: barcode then
+    genomic; end: genomic then reverse-complement barcode); SQK-RBK004 reads
+    carry it at the start only — mirroring the kits' chemistry (SURVEY.md §1).
+    barcode=0 simulates a barcode-less read (adapter straight into genomic).
+    """
+    if not 0 <= barcode <= NUM_BARCODES:
+        raise ValueError(f"barcode {barcode} out of range")
+    parts = [adapter_sequence(kit, "start")]
+    if barcode > 0:
+        parts.append(barcode_sequences(kit)[barcode - 1])
+    parts.append(random_dna(rng, genome_length))
+    if kit == "EXP-NBD103" and barcode > 0:
+        parts.append(reverse_complement(barcode_sequences(kit)[barcode - 1]))
+        parts.append(adapter_sequence(kit, "end"))
+    sequence = "".join(parts)
+
+    squiggle, dwells = sequence_to_squiggle(sequence, rng)
+    if open_pore_length is None:
+        open_pore_length = int(rng.integers(100, 900))
+    open_pore = OPEN_PORE_LEVEL + OPEN_PORE_NOISE * rng.standard_normal(open_pore_length)
+    full = np.concatenate([open_pore, squiggle])
+    signal = np.clip(np.round(full), -32000, 32000).astype(np.int16)
+
+    if read_id is None:
+        read_id = "read_" + _seeded_rng(kit, str(barcode), str(rng.integers(1 << 60))).bytes(8).hex()
+    return SimulatedRead(
+        read_id=read_id,
+        barcode=barcode,
+        signal=signal,
+        sequence=sequence,
+        dwells=dwells,
+        signal_start_of_bases=open_pore_length,
+    )
+
+
+def phred_quals(rng: np.random.Generator, length: int) -> str:
+    return "".join(chr(33 + int(q)) for q in rng.integers(10, 30, length))
+
+
+def make_dataset(
+    out_dir: str | os.PathLike,
+    kit: str = "EXP-NBD103",
+    reads_per_barcode: int = 4,
+    none_reads: int = 4,
+    genome_length: int = 2000,
+    seed: int = 0,
+    write_fastq: bool = True,
+) -> Dict[str, int]:
+    """Write a labelled synthetic dataset.
+
+    Layout under `out_dir`:
+      fast5s/<read_id>.fast5   — single-read fast5 (+ dwell sidecar dataset)
+      reads.fastq              — "basecalled" reads (when write_fastq)
+      truth.tsv                — read_ID<TAB>barcode_call ground truth
+      dataset.json             — generation parameters
+
+    Returns {read_id: true_barcode}.
+    """
+    out_dir = os.fspath(out_dir)
+    fast5_dir = os.path.join(out_dir, "fast5s")
+    os.makedirs(fast5_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+
+    truth: Dict[str, int] = {}
+    fastq_records = []
+    labels = [0] * none_reads + [
+        b for b in range(1, NUM_BARCODES + 1) for _ in range(reads_per_barcode)
+    ]
+    for label in labels:
+        read = simulate_read(kit, label, rng, genome_length=genome_length)
+        truth[read.read_id] = read.barcode
+        path = os.path.join(fast5_dir, f"{read.read_id}.fast5")
+        write_single_read_fast5(path, read.read_id, read.signal)
+        _append_move_table(path, read)
+        if write_fastq:
+            quals = phred_quals(rng, len(read.sequence))
+            fastq_records.append(f"@{read.read_id}\n{read.sequence}\n+\n{quals}\n")
+
+    if write_fastq:
+        with open(os.path.join(out_dir, "reads.fastq"), "w") as handle:
+            handle.writelines(fastq_records)
+    with open(os.path.join(out_dir, "truth.tsv"), "w") as handle:
+        for read_id, barcode in sorted(truth.items()):
+            call = "none" if barcode == 0 else f"barcode{barcode:02d}"
+            handle.write(f"{read_id}\t{call}\n")
+    with open(os.path.join(out_dir, "dataset.json"), "w") as handle:
+        json.dump(
+            {"kit": kit, "reads_per_barcode": reads_per_barcode,
+             "none_reads": none_reads, "seed": seed,
+             "genome_length": genome_length},
+            handle, indent=2,
+        )
+    return truth
+
+
+def _append_move_table(path: str, read: SimulatedRead) -> None:
+    """Store the dwell table + metadata the way a basecaller summary would.
+
+    ``prep`` uses this to map basecalled coordinates → raw-signal coordinates
+    (the rebuild's analog of the albacore event table, SURVEY.md §3.4).
+    """
+    import h5py
+
+    with h5py.File(path, "a") as handle:
+        group = handle.create_group("Analyses/Segmentation_000/Summary")
+        group.attrs["first_sample_template"] = read.signal_start_of_bases
+        handle.create_dataset(
+            "Analyses/Basecall_1D_000/BaseCalled_template/Move",
+            data=read.dwells.astype(np.int32),
+        )

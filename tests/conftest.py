@@ -1,0 +1,26 @@
+"""Test configuration: force an 8-device virtual CPU platform.
+
+Tests never touch real TPU hardware; multi-chip sharding tests run on
+XLA's host platform with 8 virtual devices (SURVEY.md §4 item 4).  The env
+vars must be set before jax initialises its backends, hence module level in
+conftest (imported before any test module).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+# Keep test compiles fast and deterministic.
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)

@@ -1,0 +1,69 @@
+"""Unit tests for window-combine and barcode-calling rules."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from deepbinner_tpu import NUM_CLASSES
+from deepbinner_tpu.ops.calling import (
+    CallingConfig,
+    call_one_end,
+    combine_window_probs,
+    reconcile_calls,
+)
+
+CFG = CallingConfig(min_score=0.5, score_diff=0.3)
+
+
+def _probs(rows):
+    out = np.zeros((len(rows), NUM_CLASSES), np.float32)
+    for i, row in enumerate(rows):
+        for cls, p in row.items():
+            out[i, cls] = p
+    return jnp.asarray(out)
+
+
+def test_combine_masked_mean():
+    probs = np.zeros((1, 3, NUM_CLASSES), np.float32)
+    probs[0, 0, 1] = 1.0
+    probs[0, 1, 2] = 1.0
+    probs[0, 2, 3] = 1.0  # masked out below
+    mask = jnp.asarray([[True, True, False]])
+    combined = np.asarray(combine_window_probs(jnp.asarray(probs), mask))
+    np.testing.assert_allclose(combined[0, 1], 0.5, atol=1e-6)
+    np.testing.assert_allclose(combined[0, 2], 0.5, atol=1e-6)
+    np.testing.assert_allclose(combined[0, 3], 0.0, atol=1e-6)
+
+
+def test_combine_no_valid_windows_is_none():
+    probs = jnp.asarray(np.full((1, 2, NUM_CLASSES), 1.0 / NUM_CLASSES, np.float32))
+    mask = jnp.asarray([[False, False]])
+    combined = np.asarray(combine_window_probs(probs, mask))
+    assert combined[0, 0] == 1.0  # all mass on "none"
+
+
+def test_call_rules():
+    probs = _probs([
+        {3: 0.9, 5: 0.05},          # confident → barcode03
+        {3: 0.4, 5: 0.05},          # below min_score → none
+        {3: 0.55, 5: 0.45},         # margin too small → none
+        {0: 0.9, 3: 0.1},           # argmax is "none" → none
+    ])
+    calls = np.asarray(call_one_end(probs, CFG))
+    np.testing.assert_array_equal(calls, [3, 0, 0, 0])
+
+
+def test_reconcile_either():
+    cfg = CallingConfig(require_both=False)
+    start = jnp.asarray([3, 0, 3, 3, 0], jnp.int32)
+    end = jnp.asarray([3, 5, 0, 5, 0], jnp.int32)
+    out = np.asarray(reconcile_calls(start, end, cfg))
+    # agree→3, only-end→5, only-start→3, conflict→0, neither→0
+    np.testing.assert_array_equal(out, [3, 5, 3, 0, 0])
+
+
+def test_reconcile_require_both():
+    cfg = CallingConfig(require_both=True)
+    start = jnp.asarray([3, 0, 3, 3], jnp.int32)
+    end = jnp.asarray([3, 5, 0, 5], jnp.int32)
+    out = np.asarray(reconcile_calls(start, end, cfg))
+    np.testing.assert_array_equal(out, [3, 0, 0, 0])
