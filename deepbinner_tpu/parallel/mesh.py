@@ -1,0 +1,83 @@
+"""Device mesh and sharding helpers.
+
+The reference is single-process with no parallel strategy beyond TF thread
+pools (SURVEY.md §2 parallelism table).  The rebuild's first-class strategy
+is **data parallelism**: the model is a few hundred KB, every read is
+independent, and the window axis folds into the batch — so the mesh is
+``('data', 'model')`` with ``model=1`` in production.  The ``model`` axis
+exists so tensor-parallel shardings (conv channels / classifier features)
+can be expressed and dry-run tested; at this model size TP is a scaling
+demonstration, not a win — documented per SURVEY.md §2.
+
+All shardings are `NamedSharding`s over a `Mesh`; `jit` inserts the
+collectives.  Nothing here hand-schedules communication.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    devices: Optional[Sequence[jax.Device]] = None,
+    data: int = 0,
+    model: int = 1,
+) -> Mesh:
+    """Build a ('data', 'model') mesh. data=0 → use all remaining devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    if model < 1:
+        raise ValueError("model axis must be >= 1")
+    if data <= 0:
+        if len(devices) % model:
+            raise ValueError(f"{len(devices)} devices not divisible by model={model}")
+        data = len(devices) // model
+    count = data * model
+    if count > len(devices):
+        raise ValueError(f"need {count} devices, have {len(devices)}")
+    grid = np.asarray(devices[:count]).reshape(data, model)
+    return Mesh(grid, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over 'data', replicate the rest."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def param_sharding(mesh: Mesh, variables) -> dict:
+    """Sharding tree for model variables.
+
+    Data-parallel inference/training replicates parameters.  When the mesh
+    has a non-trivial 'model' axis, conv kernels ``(width, in, out)`` and
+    dense kernels ``(in, out)`` shard their output-feature axis — simple
+    Megatron-style column parallelism for the demonstration/dry-run path.
+    """
+    model_parallel = mesh.shape["model"] > 1
+
+    def spec_for(path, leaf) -> NamedSharding:
+        if not model_parallel or leaf.ndim < 2:
+            return NamedSharding(mesh, P())
+        # Shard the trailing (output-feature) axis if it divides evenly.
+        if leaf.shape[-1] % mesh.shape["model"] == 0:
+            return NamedSharding(mesh, P(*([None] * (leaf.ndim - 1) + ["model"])))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec_for, variables)
+
+
+def pad_to_multiple(array: np.ndarray, multiple: int, axis: int = 0) -> np.ndarray:
+    """Pad `axis` up to a multiple (batch must divide the data axis for DP)."""
+    size = array.shape[axis]
+    target = -(-size // multiple) * multiple
+    if target == size:
+        return array
+    pad = [(0, 0)] * array.ndim
+    pad[axis] = (0, target - size)
+    return np.pad(array, pad)

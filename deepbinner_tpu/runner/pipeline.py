@@ -111,16 +111,39 @@ class ClassifyProgram:
         cfg: ClassifyConfig,
         start_variables: dict,
         end_variables: Optional[dict] = None,
+        mesh=None,
     ) -> None:
         if cfg.dual_model and end_variables is None:
             raise ValueError("dual_model requires end_variables")
         self.model = model
         self.cfg = cfg
-        self.start_variables = start_variables
-        self.end_variables = end_variables
+        self.mesh = mesh
         # No buffer donation: the (B, buffer) input can't alias any output
         # shape, so donation would only generate copies + warnings.
-        self._jitted = jax.jit(functools.partial(classify_step, model, cfg))
+        if mesh is None:
+            self.start_variables = start_variables
+            self.end_variables = end_variables
+            self._jitted = jax.jit(functools.partial(classify_step, model, cfg))
+        else:
+            # Data-parallel over the mesh: replicated weights, batch sharded
+            # on 'data'; jit inserts any collectives. Outputs are replicated
+            # so the host reads one coherent call table.
+            from deepbinner_tpu.parallel import mesh as mesh_lib
+
+            rep = mesh_lib.replicated(mesh)
+            bsh = mesh_lib.batch_sharding(mesh)
+            self.start_variables = jax.device_put(start_variables, rep)
+            self.end_variables = (
+                jax.device_put(end_variables, rep) if end_variables else None
+            )
+            data_shardings = (
+                (bsh, bsh, bsh, bsh) if cfg.dual_model else (bsh, bsh, None, None)
+            )
+            self._jitted = jax.jit(
+                functools.partial(classify_step, model, cfg),
+                in_shardings=(rep, rep) + data_shardings,
+                out_shardings=rep,
+            )
 
     def __call__(
         self,

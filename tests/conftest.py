@@ -16,6 +16,11 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 # Keep test compiles fast and deterministic.
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# Persistent compilation cache: repeated jit of the same tiny programs across
+# tests/runs hits disk instead of recompiling (minutes → seconds).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/deepbinner_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
 
 import numpy as np
 import pytest

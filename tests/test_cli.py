@@ -1,0 +1,160 @@
+"""End-to-end CLI tests: simulate → classify → bin (SURVEY.md §4 item 2)."""
+
+import gzip
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from deepbinner_tpu.cli.main import main
+from deepbinner_tpu.models.checkpoint import save_model
+from deepbinner_tpu.models.network import NetworkConfig, init_params
+from deepbinner_tpu.utils import simulate, table
+
+TINY_NET = NetworkConfig(
+    input_length=256, stem_features=8, block_features=(8,),
+    inception_features=(16,), head_features=16,
+)
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ds")
+    truth = simulate.make_dataset(
+        root, kit="EXP-NBD103", reads_per_barcode=1, none_reads=2,
+        genome_length=600, seed=11,
+    )
+    return root, truth
+
+
+@pytest.fixture(scope="module")
+def tiny_model(tmp_path_factory):
+    path = tmp_path_factory.mktemp("model") / "starts.dbt"
+    _, variables = init_params(jax.random.PRNGKey(0), TINY_NET)
+    save_model(path, TINY_NET, variables, {"kit": "EXP-NBD103", "end": "start"})
+    return str(path)
+
+
+def _classify(dataset_dir, model, capsys, extra=()):
+    main([
+        "classify", str(dataset_dir / "fast5s"), "-s", model,
+        "--scan_size", "768", "--batch_size", "8", *extra,
+    ])
+    return capsys.readouterr().out
+
+
+def test_classify_to_tsv(dataset, tiny_model, capsys):
+    root, truth = dataset
+    out = _classify(root, tiny_model, capsys)
+    lines = [l for l in out.splitlines() if l]
+    assert lines[0].startswith(table.HEADER_PREFIX)
+    calls = dict(l.split("\t")[:2] for l in lines[1:])
+    assert set(calls) == set(truth)
+    assert all(c == "none" or c.startswith("barcode") for c in calls.values())
+
+
+def test_classify_deterministic(dataset, tiny_model, capsys):
+    root, _ = dataset
+    out1 = _classify(root, tiny_model, capsys)
+    out2 = _classify(root, tiny_model, capsys)
+    assert out1 == out2
+
+
+def test_classify_verbose_scores(dataset, tiny_model, capsys):
+    root, truth = dataset
+    out = _classify(root, tiny_model, capsys, extra=("--verbose",))
+    lines = [l for l in out.splitlines() if l]
+    # header + one row per read, each with 13 probability columns
+    assert len(lines) == len(truth) + 1
+    assert len(lines[1].split("\t")) == 2 + 13
+
+
+def test_sharded_classify_matches_single_host(dataset, tiny_model, capsys, monkeypatch):
+    """Env-simulated 2-process run: union of shard outputs == single-host."""
+    root, truth = dataset
+    single = _classify(root, tiny_model, capsys)
+    single_calls = dict(
+        l.split("\t")[:2] for l in single.splitlines()[1:] if l
+    )
+    sharded_calls = {}
+    seen = []
+    for rank in range(2):
+        monkeypatch.setenv("DEEPBINNER_TPU_PROCESS_INDEX", str(rank))
+        monkeypatch.setenv("DEEPBINNER_TPU_PROCESS_COUNT", "2")
+        out = _classify(root, tiny_model, capsys)
+        rows = [l.split("\t")[:2] for l in out.splitlines()[1:] if l]
+        seen.append(len(rows))
+        sharded_calls.update(dict(rows))
+    monkeypatch.delenv("DEEPBINNER_TPU_PROCESS_INDEX")
+    monkeypatch.delenv("DEEPBINNER_TPU_PROCESS_COUNT")
+    assert sum(seen) == len(truth)          # disjoint cover
+    assert sharded_calls == single_calls    # identical calls
+
+
+def test_bin_roundtrip(dataset, tiny_model, capsys, tmp_path):
+    root, truth = dataset
+    tsv = tmp_path / "calls.tsv"
+    tsv.write_text(_classify(root, tiny_model, capsys))
+    out_dir = tmp_path / "bins"
+    main(["bin", "--classes", str(tsv), "--reads", str(root / "reads.fastq"),
+          "--out_dir", str(out_dir)])
+    capsys.readouterr()
+    written = sorted(os.listdir(out_dir))
+    assert written  # at least one bin
+    total = 0
+    for name in written:
+        with gzip.open(out_dir / name, "rt") as handle:
+            reads = [l for l in handle if l.startswith("@")]
+        total += len(reads)
+    assert total == len(truth)
+
+
+def test_bin_byte_identical(dataset, tiny_model, capsys, tmp_path):
+    root, _ = dataset
+    tsv = tmp_path / "calls.tsv"
+    tsv.write_text(_classify(root, tiny_model, capsys))
+    outs = []
+    for run in range(2):
+        out_dir = tmp_path / f"bins{run}"
+        main(["bin", "--classes", str(tsv), "--reads", str(root / "reads.fastq"),
+              "--out_dir", str(out_dir)])
+        capsys.readouterr()
+        outs.append({
+            name: (out_dir / name).read_bytes()
+            for name in sorted(os.listdir(out_dir))
+        })
+    assert outs[0] == outs[1]
+
+
+def test_missing_classification_goes_to_none(dataset, capsys, tmp_path):
+    root, truth = dataset
+    tsv = tmp_path / "calls.tsv"
+    some_read = sorted(truth)[0]
+    tsv.write_text(f"{some_read}\tbarcode05\n")  # only one read classified
+    out_dir = tmp_path / "bins"
+    main(["bin", "--classes", str(tsv), "--reads", str(root / "reads.fastq"),
+          "--out_dir", str(out_dir)])
+    capsys.readouterr()
+    with gzip.open(out_dir / "none.fastq.gz", "rt") as handle:
+        none_reads = [l for l in handle if l.startswith("@")]
+    assert len(none_reads) == len(truth) - 1
+
+
+def test_version(capsys):
+    with pytest.raises(SystemExit) as exc:
+        main(["--version"])
+    assert exc.value.code == 0
+    assert "deepbinner-tpu" in capsys.readouterr().out
+
+
+def test_no_command_shows_help(capsys):
+    with pytest.raises(SystemExit) as exc:
+        main([])
+    assert exc.value.code == 1
+
+
+def test_simulate_command(tmp_path, capsys):
+    main(["simulate", str(tmp_path / "sim"), "--reads_per_barcode", "0",
+          "--none_reads", "3", "--genome_length", "200"])
+    assert (tmp_path / "sim" / "truth.tsv").exists()
