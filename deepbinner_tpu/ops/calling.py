@@ -36,21 +36,29 @@ class CallingConfig:
 def combine_window_probs(
     probs: jnp.ndarray, window_mask: jnp.ndarray
 ) -> jnp.ndarray:
-    """Masked mean of per-window probability vectors.
+    """Best-window (max) combination of per-window probability vectors.
 
     Args:
       probs: ``(B, W, C)`` per-window softmax outputs.
       window_mask: ``(B, W)`` bool validity.
 
-    Returns ``(B, C)``; rows with zero valid windows get probability 1 on
-    class 0 ("none") so downstream rules need no special casing.
+    The barcode occupies only ~1-2 of the windows scanned across a read end;
+    the other windows see adapter/genomic signal and correctly score "none".
+    A mean over windows would drown the barcode-bearing window, so each
+    class's combined score is the **max over valid windows** — "the strongest
+    evidence any window gave for this class".  The result is a per-class
+    score vector in [0, 1], *not* a normalised distribution; the calling
+    rules (min_score/score_diff) are defined on barcode scores only.
+
+    Rows with zero valid windows get score 1 on class 0 ("none") so
+    downstream rules need no special-casing.
     """
-    mask = window_mask.astype(probs.dtype)[:, :, None]
-    total = jnp.sum(probs * mask, axis=1)
-    count = jnp.sum(mask, axis=1)
-    combined = total / jnp.maximum(count, 1.0)
+    mask = window_mask[:, :, None]
+    masked = jnp.where(mask, probs, 0.0)
+    combined = jnp.max(masked, axis=1)
+    any_valid = jnp.any(window_mask, axis=1, keepdims=True)
     none_row = jnp.zeros((NUM_CLASSES,), probs.dtype).at[0].set(1.0)
-    return jnp.where(count > 0, combined, none_row[None, :])
+    return jnp.where(any_valid, combined, none_row[None, :])
 
 
 def call_one_end(probs: jnp.ndarray, cfg: CallingConfig) -> jnp.ndarray:
@@ -59,21 +67,24 @@ def call_one_end(probs: jnp.ndarray, cfg: CallingConfig) -> jnp.ndarray:
     probs: ``(B, C)`` → int32 ``(B,)`` class index (0 = none).
 
     Rules (reference classify.py semantics, SURVEY.md §3.1 [M]):
-    - overall argmax must be a barcode class (not "none"),
-    - its probability ≥ ``min_score``,
-    - its probability beats the runner-up *barcode* by ≥ ``score_diff``.
+    - the best *barcode* score must reach ``min_score``,
+    - and beat the runner-up barcode by ≥ ``score_diff``;
+    otherwise the read is "none".  Class 0's own score never wins directly —
+    "none" is the fallback when no barcode is confident, which composes
+    correctly with the max-combine upstream (where class 0's max is high for
+    every read that has any non-barcode window).
     """
-    best_class = jnp.argmax(probs, axis=-1).astype(jnp.int32)
     barcode_probs = probs[:, 1:]
+    best_barcode = (jnp.argmax(barcode_probs, axis=-1) + 1).astype(jnp.int32)
     order = jnp.sort(barcode_probs, axis=-1)
     top1 = order[:, -1]
     top2 = order[:, -2]
+    # top1 > 0 strictly: a read whose every window was invalid has all-zero
+    # barcode scores and must stay "none" even at zeroed thresholds.
     confident = (
-        (best_class != 0)
-        & (top1 >= cfg.min_score)
-        & (top1 - top2 >= cfg.score_diff)
+        (top1 > 0.0) & (top1 >= cfg.min_score) & (top1 - top2 >= cfg.score_diff)
     )
-    return jnp.where(confident, best_class, 0).astype(jnp.int32)
+    return jnp.where(confident, best_barcode, 0).astype(jnp.int32)
 
 
 def reconcile_calls(

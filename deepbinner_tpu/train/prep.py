@@ -1,0 +1,198 @@
+"""`prep` workload: build labelled training samples from sequenced runs.
+
+Reference parity: ``deepbinner/prep.py`` (SURVEY.md §2 item 5, §3.4) — the
+reference's largest module.  Per read:
+
+1. locate the barcode in the *basecalled* sequence (the reference parses
+   Porechop output and/or aligns known barcode+adapter sequences; here an
+   approximate sub-sequence search against the kit's barcode set),
+2. map base coordinates back to **raw-signal coordinates** via the
+   basecaller's move/dwell table stored in the fast5,
+3. extract the signal region around the barcode (with margin) and emit a
+   ``label<TAB>signal-values`` training row of exactly ``signal_size``
+   samples (> CNN input, enabling random-crop augmentation at train time),
+4. additionally emit a class-0 ("none") row cut from mid-read genomic
+   signal, giving `balance` real no-barcode examples.
+
+For ``--end end`` (EXP-NBD103 read ends), the reverse-complement barcode is
+located near the read's 3' end and the extracted signal is **reversed**, so
+end-model training data matches what classify feeds the end model (the
+executor reverses end-of-read signal; see runner.executor.build_batch).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from deepbinner_tpu.train import data as data_io
+from deepbinner_tpu.utils import seqio
+from deepbinner_tpu.utils.fast5 import (
+    find_all_fast5s,
+    get_move_table,
+    iterate_reads_in_fast5,
+)
+from deepbinner_tpu.utils.log import Progress, log, quit_with_error, section
+from deepbinner_tpu.utils.simulate import barcode_sequences, reverse_complement
+
+
+def approximate_find(haystack: str, needle: str, max_mismatch: int) -> int:
+    """Best sliding-window Hamming match of `needle` in `haystack`.
+
+    Returns the start index, or -1 if no window has ≤ max_mismatch
+    mismatches.  Vectorised over positions (numpy byte comparison) — fast
+    enough to scan every read without an alignment library (edlib/mappy are
+    optional deps of the reference; neither is available here).
+    """
+    n, m = len(haystack), len(needle)
+    if m == 0 or n < m:
+        return -1
+    hay = np.frombuffer(haystack.encode(), dtype=np.uint8)
+    ndl = np.frombuffer(needle.encode(), dtype=np.uint8)
+    windows = np.lib.stride_tricks.sliding_window_view(hay, m)
+    mismatches = np.count_nonzero(windows != ndl[None, :], axis=1)
+    best = int(np.argmin(mismatches))
+    if int(mismatches[best]) > max_mismatch:
+        return -1
+    return best
+
+
+def base_range_to_signal_range(
+    first_sample: int, dwells: np.ndarray, base_start: int, base_end: int
+) -> Tuple[int, int]:
+    """Map a [base_start, base_end) basecall range to raw-signal samples."""
+    boundaries = first_sample + np.concatenate([[0], np.cumsum(dwells)])
+    base_start = max(0, min(base_start, len(dwells)))
+    base_end = max(0, min(base_end, len(dwells)))
+    return int(boundaries[base_start]), int(boundaries[base_end])
+
+
+def _cut_sample(
+    signal: np.ndarray, start: int, end: int, signal_size: int, margin: int
+) -> Optional[np.ndarray]:
+    """Cut a `signal_size` window containing [start-margin, end+margin)."""
+    lo = max(0, start - margin)
+    hi = min(signal.size, end + margin)
+    if hi - lo <= 0:
+        return None
+    # Centre the barcode region within the fixed-size window where possible.
+    centre = (lo + hi) // 2
+    cut_lo = max(0, centre - signal_size // 2)
+    cut_hi = cut_lo + signal_size
+    if cut_hi > signal.size:
+        cut_hi = signal.size
+        cut_lo = max(0, cut_hi - signal_size)
+    if cut_hi - cut_lo < signal_size:
+        return None  # read too short for a full training sample
+    return signal[cut_lo:cut_hi]
+
+
+def extract_training_samples(
+    signal: np.ndarray,
+    sequence: str,
+    move: Tuple[int, np.ndarray],
+    kit: str,
+    end: str,
+    signal_size: int,
+    margin: int,
+    max_mismatch: int = 3,
+    search_bases: int = 400,
+) -> List[Tuple[int, np.ndarray]]:
+    """All training rows derivable from one read (barcode row + none row)."""
+    first_sample, dwells = move
+    barcodes = barcode_sequences(kit)
+    samples: List[Tuple[int, np.ndarray]] = []
+
+    if end == "start":
+        search_region = sequence[:search_bases]
+        offset = 0
+    else:
+        if kit != "EXP-NBD103":
+            raise ValueError("read-end training data only exists for EXP-NBD103")
+        offset = max(0, len(sequence) - search_bases)
+        search_region = sequence[offset:]
+
+    best: Tuple[int, int] | None = None  # (barcode_index, position)
+    for index, barcode in enumerate(barcodes, start=1):
+        probe = reverse_complement(barcode) if end == "end" else barcode
+        pos = approximate_find(search_region, probe, max_mismatch)
+        if pos >= 0:
+            best = (index, offset + pos)
+            break  # synthetic barcodes are distinct; first hit is the hit
+    if best is not None:
+        index, base_pos = best
+        sig_start, sig_end = base_range_to_signal_range(
+            first_sample, dwells, base_pos, base_pos + 24
+        )
+        cut = _cut_sample(signal, sig_start, sig_end, signal_size, margin)
+        if cut is not None:
+            if end == "end":
+                cut = cut[::-1]
+            samples.append((index, cut))
+        # Mid-read genomic signal is a clean "none" example (far from any
+        # barcode) — one per barcoded read keeps class 0 supplied.
+        none_base = len(dwells) // 2
+    else:
+        # No barcode found: the read-start (or read-end) region itself is
+        # the "none" example — adapter+genomic, exactly what classify scans
+        # on a barcode-less read.  Training class 0 on the same positional
+        # distribution as classes 1-12 is what lets the calling thresholds
+        # separate them at inference time.
+        if end == "start":
+            none_base = min(50, max(0, len(dwells) - 30))
+        else:
+            none_base = max(0, len(dwells) - 80)
+    sig_start, sig_end = base_range_to_signal_range(
+        first_sample, dwells, none_base, none_base + 24
+    )
+    cut = _cut_sample(signal, sig_start, sig_end, signal_size, margin)
+    if cut is not None:
+        if end == "end":
+            cut = cut[::-1]
+        samples.append((0, cut))
+    return samples
+
+
+def prep(args) -> None:
+    section(f"Preparing {args.end}-of-read training data ({args.kit})")
+    files = find_all_fast5s(args.fast5_dir)
+    if not files:
+        quit_with_error(f"no fast5 files in {args.fast5_dir}")
+    if not os.path.isfile(args.reads):
+        quit_with_error(f"reads file not found: {args.reads}")
+
+    sequences: Dict[str, str] = {
+        rec[0]: rec[2] for rec in seqio.iterate_reads(args.reads)
+    }
+    log(f"  {len(sequences)} basecalled reads, {len(files)} fast5 files")
+
+    progress = Progress("reads prepped")
+    rows: List[Tuple[int, np.ndarray]] = []
+    skipped = 0
+    for path in files:
+        for read_id, signal in iterate_reads_in_fast5(path):
+            sequence = sequences.get(read_id)
+            move = get_move_table(path)
+            if sequence is None or move is None:
+                skipped += 1
+                continue
+            rows.extend(
+                extract_training_samples(
+                    signal, sequence, move, args.kit, args.end,
+                    args.signal_size, args.margin,
+                )
+            )
+            progress.update()
+    progress.finish()
+    if skipped:
+        log(f"  skipped {skipped} reads (no basecall or no move table)")
+    if not rows:
+        quit_with_error("no training samples extracted")
+    data_io.write_samples(args.out, rows)
+    counts: Dict[int, int] = {}
+    for label, _ in rows:
+        counts[label] = counts.get(label, 0) + 1
+    log(f"  wrote {len(rows)} samples to {args.out} "
+        f"(per-class: {dict(sorted(counts.items()))})")

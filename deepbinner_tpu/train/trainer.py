@@ -1,0 +1,347 @@
+"""`train` workload: optax training of DemuxNet with in-graph augmentation.
+
+Reference parity: ``deepbinner/train_network.py`` (SURVEY.md §2 item 7,
+§3.4): load training TSV, train/validation split (``--test_fraction``),
+data augmentation by random-cropping the stored samples down to the CNN
+input width, Adam + categorical cross-entropy, periodic checkpoints, final
+model save.
+
+TPU-first differences:
+- Augmentation (random crop + the model's GaussianNoise) runs **in-graph**:
+  the host ships raw ``(B, signal_size)`` rows once; crop offsets are drawn
+  on device per step, so every epoch sees fresh crops for free.
+- The train step is one jit over a ``('data','model')`` mesh: batch sharded
+  on 'data', parameters replicated (or TP-sharded on 'model' when model>1);
+  XLA inserts the gradient all-reduce.  This step is what
+  ``__graft_entry__.dryrun_multichip`` compiles over an N-device mesh.
+- Checkpoint/resume serialises the full TrainState (params, batch_stats,
+  optimiser state, step) — SURVEY.md §5 checkpoint row.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import serialization
+
+from deepbinner_tpu import NUM_CLASSES
+from deepbinner_tpu.models.checkpoint import save_model
+from deepbinner_tpu.models.network import DemuxNet, NetworkConfig, init_params
+from deepbinner_tpu.ops.preprocess import normalise
+from deepbinner_tpu.parallel import mesh as mesh_lib
+from deepbinner_tpu.train import data as data_io
+from deepbinner_tpu.utils.log import log, quit_with_error, section
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    network: NetworkConfig
+    learning_rate: float = 1e-3
+    batch_size: int = 256
+    epochs: int = 100
+    test_fraction: float = 0.1
+    aug_factor: int = 2
+    seed: int = 0
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    # Adam with light decay + clipping: the reference compiles with plain
+    # Adam [M]; clipping guards the early high-variance steps.
+    return optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(cfg.learning_rate, weight_decay=1e-5),
+    )
+
+
+def init_train_state(
+    rng: jax.Array, cfg: TrainConfig
+) -> Tuple[DemuxNet, TrainState]:
+    model, variables = init_params(rng, cfg.network)
+    tx = make_optimizer(cfg)
+    return model, TrainState(
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def augment_crop(
+    signals: jnp.ndarray, window: int, rng: jax.Array
+) -> jnp.ndarray:
+    """Random crop each row to `window` samples, then z-score normalise.
+
+    Stored samples are longer than the CNN input precisely to allow this
+    (reference train-time augmentation, SURVEY.md §2 item 7).  Normalising
+    *after* the crop matches inference, where each window is z-scored.
+    """
+    batch, size = signals.shape
+    offsets = jax.random.randint(rng, (batch,), 0, size - window + 1)
+    crops = jax.vmap(
+        lambda row, off: jax.lax.dynamic_slice(row, (off,), (window,))
+    )(signals, offsets)
+    return normalise(crops)
+
+
+def center_crop(signals: jnp.ndarray, window: int) -> jnp.ndarray:
+    start = (signals.shape[1] - window) // 2
+    return normalise(signals[:, start : start + window])
+
+
+def train_step(
+    model: DemuxNet,
+    tx: optax.GradientTransformation,
+    window: int,
+    state: TrainState,
+    signals: jnp.ndarray,
+    labels: jnp.ndarray,
+    rng: jax.Array,
+) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    step_rng = jax.random.fold_in(rng, state.step)
+    crop_rng, noise_rng, dropout_rng = jax.random.split(step_rng, 3)
+    crops = augment_crop(signals, window, crop_rng)
+
+    def loss_fn(params):
+        logits, updates = model.apply(
+            {"params": params, "batch_stats": state.batch_stats},
+            crops[:, :, None],
+            train=True,
+            rngs={"noise": noise_rng, "dropout": dropout_rng},
+            mutable=["batch_stats"],
+        )
+        loss = optax.softmax_cross_entropy_with_integer_labels(
+            logits, labels
+        ).mean()
+        return loss, (updates["batch_stats"], logits)
+
+    (loss, (batch_stats, logits)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(state.params)
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    accuracy = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
+    new_state = TrainState(params, batch_stats, opt_state, state.step + 1)
+    return new_state, {"loss": loss, "accuracy": accuracy}
+
+
+def eval_step(
+    model: DemuxNet,
+    window: int,
+    state: TrainState,
+    signals: jnp.ndarray,
+    labels: jnp.ndarray,
+) -> Dict[str, jnp.ndarray]:
+    crops = center_crop(signals, window)
+    logits = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        crops[:, :, None],
+        train=False,
+    )
+    loss = optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+    accuracy = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
+    return {"loss": loss, "accuracy": accuracy}
+
+
+class Trainer:
+    """Compiled train/eval steps over a device mesh + host batch loop."""
+
+    def __init__(
+        self,
+        cfg: TrainConfig,
+        mesh=None,
+    ) -> None:
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
+        self.tx = make_optimizer(cfg)
+        rng = jax.random.PRNGKey(cfg.seed)
+        self.model, state = init_train_state(rng, cfg)
+        replicated = mesh_lib.replicated(self.mesh)
+        batch_sh = mesh_lib.batch_sharding(self.mesh)
+        self.state = jax.device_put(state, replicated)
+        window = cfg.network.input_length
+        self._train_step = jax.jit(
+            lambda state, sig, lab, rng: train_step(
+                self.model, self.tx, window, state, sig, lab, rng
+            ),
+            in_shardings=(replicated, batch_sh, batch_sh, replicated),
+            out_shardings=replicated,
+            donate_argnums=(0,),
+        )
+        self._eval_step = jax.jit(
+            lambda state, sig, lab: eval_step(self.model, window, state, sig, lab),
+            in_shardings=(replicated, batch_sh, batch_sh),
+            out_shardings=replicated,
+        )
+        self._data_rng = jax.random.PRNGKey(cfg.seed + 1)
+
+    @property
+    def data_parallelism(self) -> int:
+        return self.mesh.shape["data"]
+
+    def run_train_step(self, signals: np.ndarray, labels: np.ndarray):
+        self.state, metrics = self._train_step(
+            self.state, jnp.asarray(signals), jnp.asarray(labels), self._data_rng
+        )
+        return metrics
+
+    def run_eval(self, signals: np.ndarray, labels: np.ndarray, batch: int = 512):
+        totals = {"loss": 0.0, "accuracy": 0.0}
+        count = 0
+        dp = self.data_parallelism
+        for start in range(0, len(labels), batch):
+            sig = signals[start : start + batch]
+            lab = labels[start : start + batch]
+            pad = (-len(lab)) % dp
+            if pad:
+                sig = np.concatenate([sig, np.repeat(sig[-1:], pad, 0)])
+                lab = np.concatenate([lab, np.repeat(lab[-1:], pad, 0)])
+            metrics = self._eval_step(self.state, jnp.asarray(sig), jnp.asarray(lab))
+            weight = len(lab)
+            totals["loss"] += float(metrics["loss"]) * weight
+            totals["accuracy"] += float(metrics["accuracy"]) * weight
+            count += weight
+        return {k: v / max(count, 1) for k, v in totals.items()}
+
+    # -- checkpoint / resume ------------------------------------------------
+
+    def save_checkpoint(self, directory: str, epoch: int) -> None:
+        os.makedirs(directory, exist_ok=True)
+        state = jax.device_get(self.state)
+        payload = serialization.to_bytes(state)
+        tmp = os.path.join(directory, ".state.tmp")
+        with open(tmp, "wb") as handle:
+            handle.write(payload)
+        os.replace(tmp, os.path.join(directory, "state.msgpack"))
+        with open(os.path.join(directory, "meta.json"), "w") as handle:
+            json.dump({"epoch": epoch, "step": int(state.step)}, handle)
+
+    def restore_checkpoint(self, directory: str) -> int:
+        with open(os.path.join(directory, "state.msgpack"), "rb") as handle:
+            payload = handle.read()
+        template = jax.device_get(self.state)
+        state = serialization.from_bytes(template, payload)
+        self.state = jax.device_put(state, mesh_lib.replicated(self.mesh))
+        with open(os.path.join(directory, "meta.json")) as handle:
+            return int(json.load(handle)["epoch"])
+
+    def export_variables(self) -> dict:
+        state = jax.device_get(self.state)
+        return {"params": state.params, "batch_stats": state.batch_stats}
+
+
+def train_loop(
+    trainer: Trainer,
+    signals: np.ndarray,
+    labels: np.ndarray,
+    epochs: int,
+    batch_size: int,
+    test_fraction: float,
+    aug_factor: int,
+    seed: int,
+    checkpoint_dir: Optional[str] = None,
+    resume: Optional[str] = None,
+    log_every: int = 1,
+) -> Dict[str, float]:
+    """Host epoch loop: shuffle, batch, step; eval per epoch; checkpoints."""
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(len(labels))
+    n_val = max(1, int(len(labels) * test_fraction)) if test_fraction > 0 else 0
+    val_idx, train_idx = order[:n_val], order[n_val:]
+    if len(train_idx) == 0:
+        raise ValueError("no training samples after validation split")
+    dp = trainer.data_parallelism
+    batch_size = max(batch_size - batch_size % dp, dp)
+
+    start_epoch = 0
+    if resume:
+        start_epoch = trainer.restore_checkpoint(resume) + 1
+        log(f"  resumed from {resume} at epoch {start_epoch}")
+
+    best = {"accuracy": -1.0, "loss": float("inf")}
+    for epoch in range(start_epoch, epochs):
+        t0 = time.monotonic()
+        epoch_order = rng.permutation(np.repeat(train_idx, aug_factor))
+        losses = []
+        for start in range(0, len(epoch_order) - batch_size + 1, batch_size):
+            batch_idx = epoch_order[start : start + batch_size]
+            metrics = trainer.run_train_step(signals[batch_idx], labels[batch_idx])
+            losses.append(metrics)
+        train_loss = float(np.mean([float(m["loss"]) for m in losses])) if losses else 0.0
+        val = (
+            trainer.run_eval(signals[val_idx], labels[val_idx])
+            if n_val
+            else {"loss": 0.0, "accuracy": 0.0}
+        )
+        if epoch % log_every == 0 or epoch == epochs - 1:
+            log(
+                f"  epoch {epoch + 1}/{epochs}: train loss {train_loss:.4f}, "
+                f"val loss {val['loss']:.4f}, val acc {val['accuracy']:.3f} "
+                f"({time.monotonic() - t0:.1f}s)"
+            )
+        if checkpoint_dir:
+            trainer.save_checkpoint(checkpoint_dir, epoch)
+        if val["accuracy"] >= best["accuracy"]:
+            best = dict(val)
+    return best
+
+
+TINY_PRESET = NetworkConfig(
+    input_length=256,
+    stem_features=8,
+    block_features=(8,),
+    inception_features=(16,),
+    head_features=16,
+)
+
+
+def train_from_args(args) -> None:
+    section("Training the barcode classifier")
+    signals, labels = data_io.load_training_set(args.training_data)
+    log(f"  {len(labels)} samples of size {signals.shape[1]}")
+    network = TINY_PRESET if args.size == "tiny" else NetworkConfig()
+    if signals.shape[1] <= network.input_length:
+        quit_with_error(
+            f"training samples ({signals.shape[1]}) must be longer than the "
+            f"network input ({network.input_length})"
+        )
+    if labels.max() >= NUM_CLASSES or labels.min() < 0:
+        quit_with_error("labels out of range")
+
+    cfg = TrainConfig(
+        network=network,
+        learning_rate=args.learning_rate,
+        batch_size=args.batch_size,
+        epochs=args.epochs,
+        test_fraction=args.test_fraction,
+        aug_factor=args.aug_factor,
+        seed=args.seed,
+    )
+    mesh = mesh_lib.make_mesh(data=args.dp if args.dp > 0 else 0)
+    log(f"  mesh: {dict(mesh.shape)} over {mesh.devices.size} device(s)")
+    trainer = Trainer(cfg, mesh)
+    best = train_loop(
+        trainer, signals, labels,
+        epochs=cfg.epochs, batch_size=cfg.batch_size,
+        test_fraction=cfg.test_fraction, aug_factor=cfg.aug_factor,
+        seed=cfg.seed, checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+    )
+    save_model(
+        args.out, network, trainer.export_variables(),
+        metadata={"best_val": best, "epochs": cfg.epochs},
+    )
+    log(f"  saved model to {args.out} (best val acc {best['accuracy']:.3f})")

@@ -93,6 +93,32 @@ def get_read_id_and_signal(
         return None, None
 
 
+def get_move_table(
+    path: str | os.PathLike,
+) -> Optional[Tuple[int, np.ndarray]]:
+    """Read the basecaller move/dwell table → (first_sample, per-base dwells).
+
+    The reference maps basecalled coordinates to raw-signal coordinates via
+    the albacore event table in the fast5 (SURVEY.md §3.4); modern
+    basecallers store an equivalent Move table.  Returns None when absent
+    (prep then skips the read).
+    """
+    import h5py
+
+    try:
+        with h5py.File(path, "r") as handle:
+            move = handle.get("Analyses/Basecall_1D_000/BaseCalled_template/Move")
+            summary = handle.get("Analyses/Segmentation_000/Summary")
+            if move is None:
+                return None
+            first = 0
+            if summary is not None:
+                first = int(summary.attrs.get("first_sample_template", 0))
+            return first, np.asarray(move[:], dtype=np.int64)
+    except (OSError, KeyError, ValueError):
+        return None
+
+
 def write_single_read_fast5(
     path: str | os.PathLike,
     read_id: str,

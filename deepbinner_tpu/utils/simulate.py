@@ -98,7 +98,11 @@ def sequence_to_squiggle(
     dwells = np.zeros(len(seq), np.int32)
     chunks = []
     for i, level in enumerate(levels):
-        dwell = 1 + rng.geometric(1.0 / MEAN_DWELL)
+        # Dwell: mean ≈ MEAN_DWELL samples/base with moderate variance.
+        # (A geometric dwell is more realistic but warps time so heavily
+        # that tiny CI-scale training sets can't learn; Poisson keeps the
+        # task honest yet learnable at small scale.)
+        dwell = int(4 + rng.poisson(MEAN_DWELL - 4.0))
         dwells[i] = dwell
         chunks.append(level + SIGNAL_NOISE * rng.standard_normal(dwell))
     return np.concatenate(chunks).astype(np.float32), dwells

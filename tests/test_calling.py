@@ -22,16 +22,20 @@ def _probs(rows):
     return jnp.asarray(out)
 
 
-def test_combine_masked_mean():
+def test_combine_best_window():
+    """Max-combine: each class scored by its best valid window."""
     probs = np.zeros((1, 3, NUM_CLASSES), np.float32)
-    probs[0, 0, 1] = 1.0
-    probs[0, 1, 2] = 1.0
-    probs[0, 2, 3] = 1.0  # masked out below
+    probs[0, 0, 1] = 0.9   # window 0: strong barcode01
+    probs[0, 0, 2] = 0.1
+    probs[0, 1, 0] = 0.95  # window 1: genomic → none
+    probs[0, 1, 2] = 0.4
+    probs[0, 2, 3] = 1.0   # masked out below
     mask = jnp.asarray([[True, True, False]])
     combined = np.asarray(combine_window_probs(jnp.asarray(probs), mask))
-    np.testing.assert_allclose(combined[0, 1], 0.5, atol=1e-6)
-    np.testing.assert_allclose(combined[0, 2], 0.5, atol=1e-6)
-    np.testing.assert_allclose(combined[0, 3], 0.0, atol=1e-6)
+    np.testing.assert_allclose(combined[0, 1], 0.9, atol=1e-6)   # best window
+    np.testing.assert_allclose(combined[0, 2], 0.4, atol=1e-6)
+    np.testing.assert_allclose(combined[0, 0], 0.95, atol=1e-6)
+    np.testing.assert_allclose(combined[0, 3], 0.0, atol=1e-6)   # masked
 
 
 def test_combine_no_valid_windows_is_none():

@@ -49,7 +49,9 @@ def test_single_model_output_shapes(rng):
     out = program(sig, lengths)
     assert out.calls.shape == (4,)
     assert out.start_probs.shape == (4, NUM_CLASSES)
-    np.testing.assert_allclose(np.asarray(out.start_probs).sum(-1), 1.0, atol=1e-4)
+    scores = np.asarray(out.start_probs)
+    # max-combine: per-class best-window scores in [0, 1] (not a distribution)
+    assert scores.min() >= 0.0 and scores.max() <= 1.0
     np.testing.assert_array_equal(np.asarray(out.calls), np.asarray(out.start_calls))
 
 

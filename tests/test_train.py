@@ -1,0 +1,154 @@
+"""Tests for prep/balance/train (SURVEY.md §3.4 pipeline)."""
+
+import json
+import types
+
+import numpy as np
+import pytest
+
+from deepbinner_tpu.train import balance as balance_mod
+from deepbinner_tpu.train import data as data_io
+from deepbinner_tpu.train import prep as prep_mod
+from deepbinner_tpu.train.trainer import (
+    TINY_PRESET,
+    TrainConfig,
+    Trainer,
+    train_loop,
+)
+from deepbinner_tpu.utils import simulate
+
+
+def test_approximate_find():
+    assert prep_mod.approximate_find("AAACGTACGTAAA", "CGTACGT", 0) == 3
+    # one mismatch tolerated
+    assert prep_mod.approximate_find("AAACGTACGTAAA", "CGTTCGT", 1) == 3
+    assert prep_mod.approximate_find("AAACGTACGTAAA", "GGGGGGG", 1) == -1
+    assert prep_mod.approximate_find("AA", "AAAA", 0) == -1
+
+
+def test_base_range_to_signal_range():
+    dwells = np.asarray([3, 2, 4, 1])
+    start, end = prep_mod.base_range_to_signal_range(100, dwells, 1, 3)
+    assert (start, end) == (103, 109)
+    # clamped at sequence end
+    start, end = prep_mod.base_range_to_signal_range(100, dwells, 2, 99)
+    assert (start, end) == (105, 110)
+
+
+def test_extract_training_samples_start():
+    rng = np.random.default_rng(0)
+    read = simulate.simulate_read("EXP-NBD103", 4, rng, genome_length=600)
+    move = (read.signal_start_of_bases, read.dwells)
+    samples = prep_mod.extract_training_samples(
+        read.signal, read.sequence, move, "EXP-NBD103", "start",
+        signal_size=512, margin=64,
+    )
+    labels = [s[0] for s in samples]
+    assert 4 in labels          # the true barcode row
+    assert 0 in labels          # plus a mid-read none row
+    assert all(s[1].size == 512 for s in samples)
+
+
+def test_extract_training_samples_end_reversed():
+    rng = np.random.default_rng(1)
+    read = simulate.simulate_read("EXP-NBD103", 7, rng, genome_length=600)
+    move = (read.signal_start_of_bases, read.dwells)
+    samples = prep_mod.extract_training_samples(
+        read.signal, read.sequence, move, "EXP-NBD103", "end",
+        signal_size=512, margin=64,
+    )
+    assert 7 in [s[0] for s in samples]
+
+
+def test_balance_equalises(tmp_path):
+    rows = []
+    rng = np.random.default_rng(0)
+    for label, count in [(1, 10), (2, 4), (3, 7), (0, 30)]:
+        for _ in range(count):
+            rows.append((label, rng.integers(0, 100, 64).astype(np.int16)))
+    out = balance_mod.balance_samples(rows, none_fraction=0.2, seed=0)
+    counts = {}
+    for label, _ in out:
+        counts[label] = counts.get(label, 0) + 1
+    assert counts[1] == counts[2] == counts[3] == 4
+    assert counts[0] == 3  # 0.2/0.8 * 12 = 3
+
+
+def test_data_roundtrip(tmp_path):
+    rows = [(3, np.arange(16, dtype=np.int16)), (0, np.ones(16, np.int16))]
+    path = tmp_path / "train.tsv"
+    data_io.write_samples(path, rows)
+    signals, labels = data_io.load_training_set(str(path))
+    assert signals.shape == (2, 16)
+    np.testing.assert_array_equal(labels, [3, 0])
+
+
+def test_inconsistent_sizes_raise(tmp_path):
+    path = tmp_path / "bad.tsv"
+    path.write_text("1\t1,2,3\n2\t1,2\n")
+    with pytest.raises(ValueError):
+        data_io.load_training_set(str(path))
+
+
+@pytest.fixture(scope="module")
+def tiny_training_set():
+    """Small simulated training set: 12 barcodes + none, tiny windows."""
+    rng = np.random.default_rng(5)
+    rows = []
+    for barcode in range(0, 13):
+        for _ in range(16 if barcode else 32):
+            read = simulate.simulate_read(
+                "EXP-NBD103", barcode, rng, genome_length=200,
+                open_pore_length=50,
+            )
+            move = (read.signal_start_of_bases, read.dwells)
+            samples = prep_mod.extract_training_samples(
+                read.signal, read.sequence, move, "EXP-NBD103", "start",
+                signal_size=512, margin=64,
+            )
+            for label, signal in samples:
+                if (label == 0) == (barcode == 0):
+                    rows.append((label, signal))
+    signals = np.stack([r[1] for r in rows]).astype(np.float32)
+    labels = np.asarray([r[0] for r in rows], np.int32)
+    return signals, labels
+
+
+def test_train_step_learns(tiny_training_set):
+    """A few epochs on the tiny net must beat chance by a wide margin."""
+    signals, labels = tiny_training_set
+    cfg = TrainConfig(
+        network=TINY_PRESET,
+        learning_rate=3e-3, batch_size=32, epochs=20,
+        test_fraction=0.15, aug_factor=4, seed=0,
+    )
+    trainer = Trainer(cfg)
+    best = train_loop(
+        trainer, signals, labels, epochs=cfg.epochs,
+        batch_size=cfg.batch_size, test_fraction=cfg.test_fraction,
+        aug_factor=cfg.aug_factor, seed=cfg.seed, log_every=100,
+    )
+    assert best["accuracy"] > 0.4  # chance is ~1/13 ≈ 0.077
+
+
+def test_checkpoint_resume(tiny_training_set, tmp_path):
+    signals, labels = tiny_training_set
+    cfg = TrainConfig(network=TINY_PRESET, learning_rate=1e-3,
+                      batch_size=32, epochs=2, test_fraction=0.2, seed=1)
+    ckpt = str(tmp_path / "ckpt")
+    trainer = Trainer(cfg)
+    train_loop(trainer, signals, labels, epochs=2, batch_size=32,
+               test_fraction=0.2, aug_factor=1, seed=1,
+               checkpoint_dir=ckpt, log_every=100)
+    step_before = int(np.asarray(trainer.state.step))
+    meta = json.loads((tmp_path / "ckpt" / "meta.json").read_text())
+    assert meta["epoch"] == 1
+
+    trainer2 = Trainer(cfg)
+    epoch = trainer2.restore_checkpoint(ckpt)
+    assert epoch == 1
+    assert int(np.asarray(trainer2.state.step)) == step_before
+    # resumed params identical
+    p1 = np.asarray(trainer.export_variables()["params"]["classifier"]["kernel"])
+    p2 = np.asarray(trainer2.export_variables()["params"]["classifier"]["kernel"])
+    np.testing.assert_array_equal(p1, p2)
