@@ -22,6 +22,18 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/deepbinner_tpu_jax_cach
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
 
+import jax
+
+# The axon sitecustomize force-sets jax_platforms="axon,cpu" from inside
+# register(), which overrides the env var — only a config.update after import
+# wins.  Without this, "CPU" tests silently run on the real TPU chip with a
+# single-device mesh and the 8-device sharding tests test nothing.
+jax.config.update("jax_platforms", "cpu")
+assert jax.device_count() == 8, (
+    f"expected 8 virtual CPU devices, got {jax.device_count()} "
+    f"({jax.devices()[:2]}...)"
+)
+
 import numpy as np
 import pytest
 
