@@ -1,0 +1,118 @@
+"""`realtime` workload: classify-during-sequencing directory watcher.
+
+Reference parity: ``deepbinner/realtime.py`` (SURVEY.md §3.2): an infinite
+loop scans ``--in_dir`` for fast5s not yet processed, classifies each new
+batch with the same machinery as `classify`, **moves** the files into
+``--out_dir/<barcode>/``, sleeps, and exits cleanly on Ctrl-C.
+
+Latency engineering (the MinKNOW budget in BASELINE.json config 5):
+- the classify program is compiled **once at startup** (warm_up), so the
+  first live batch pays no compile;
+- partial batches are flushed every poll — a single new read is classified
+  within one poll interval plus one device step;
+- unreadable files (still being written by MinKNOW) are skipped *without*
+  being marked done, so they are retried on the next scan; files that stay
+  unreadable are abandoned after ``_MAX_ATTEMPTS`` scans.
+
+Additions over the reference: ``--stop_file`` (clean shutdown signal for
+headless runs) and ``--max_batches`` (bounded runs; used by tests).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+from typing import Dict, List, Set
+
+from deepbinner_tpu.utils import table
+from deepbinner_tpu.utils.fast5 import find_all_fast5s, iterate_reads_in_fast5
+from deepbinner_tpu.utils.log import log, section
+
+_MAX_ATTEMPTS = 5
+
+
+def _classify_new_files(program, new_files: List[str], args, counts: Dict[str, int]):
+    """Classify a batch of files; returns {path: barcode_call} for movable files."""
+    from deepbinner_tpu.runner.executor import classify_stream
+
+    signals = []
+    owners: Dict[str, str] = {}  # read_id -> path
+    unreadable: Set[str] = set()
+    for path in new_files:
+        try:
+            reads = list(iterate_reads_in_fast5(path))
+        except Exception:
+            reads = []
+        if not reads:
+            unreadable.add(path)
+            continue
+        for read_id, signal in reads:
+            owners[read_id] = path
+            signals.append((read_id, signal))
+
+    moves: Dict[str, str] = {}
+    for result in classify_stream(
+        program, iter(signals), batch_size=args.batch_size
+    ):
+        call = table.class_index_to_call(result.call)
+        counts[call] = counts.get(call, 0) + 1
+        path = owners[result.read_id]
+        # Multi-read files move to the *first* read's bin (single-read fast5s,
+        # the realtime-mode norm, are unaffected).
+        moves.setdefault(path, call)
+    return moves, unreadable
+
+
+def realtime(args) -> None:
+    from deepbinner_tpu.cli.classify import build_program
+
+    section("Realtime classification")
+    log(f"  watching {args.in_dir} → {args.out_dir}")
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    program, _ = build_program(args)
+    t0 = time.monotonic()
+    program.warm_up(args.batch_size)
+    log(f"  program compiled in {time.monotonic() - t0:.1f}s; watching...")
+
+    done: Set[str] = set()
+    attempts: Dict[str, int] = {}
+    counts: Dict[str, int] = {}
+    batches = 0
+    try:
+        while True:
+            if args.stop_file and os.path.exists(args.stop_file):
+                log("  stop file found; exiting")
+                break
+            new_files = [f for f in find_all_fast5s(args.in_dir) if f not in done]
+            if new_files:
+                batch_start = time.monotonic()
+                moves, unreadable = _classify_new_files(
+                    program, new_files, args, counts
+                )
+                for path, call in moves.items():
+                    bin_dir = os.path.join(args.out_dir, call)
+                    os.makedirs(bin_dir, exist_ok=True)
+                    shutil.move(path, os.path.join(bin_dir, os.path.basename(path)))
+                    done.add(path)
+                for path in new_files:
+                    if path in moves:
+                        continue
+                    attempts[path] = attempts.get(path, 0) + 1
+                    if path not in unreadable or attempts[path] >= _MAX_ATTEMPTS:
+                        done.add(path)  # give up on persistently bad files
+                if moves:
+                    batches += 1
+                    latency = time.monotonic() - batch_start
+                    log(f"  batch {batches}: {len(moves)} file(s) sorted in "
+                        f"{latency:.2f}s (totals: {dict(sorted(counts.items()))})")
+                if args.max_batches and batches >= args.max_batches:
+                    log("  max batches reached; exiting")
+                    break
+            time.sleep(args.poll_interval)
+    except KeyboardInterrupt:
+        log("\n  interrupted; exiting cleanly")
+    section("Final counts per bin")
+    for call in sorted(counts):
+        log(f"  {call}: {counts[call]}")
