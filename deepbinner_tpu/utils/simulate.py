@@ -73,10 +73,39 @@ def reverse_complement(seq: str) -> str:
     return "".join(comp[b] for b in reversed(seq))
 
 
+_PORE_TABLE: Optional[np.ndarray] = None
+_BASE_INDEX = {ord("A"): 0, ord("C"): 1, ord("G"): 2, ord("T"): 3}
+
+
+def _pore_table() -> np.ndarray:
+    """All 4^KMER current levels, built once (seeded, deterministic)."""
+    global _PORE_TABLE
+    if _PORE_TABLE is None:
+        rng = _seeded_rng("pore-model-table")
+        _PORE_TABLE = (
+            SIGNAL_MEAN + SIGNAL_SPREAD * rng.standard_normal(4 ** KMER)
+        ).astype(np.float32)
+    return _PORE_TABLE
+
+
 def _kmer_level(kmer: str) -> float:
     """Pore model: deterministic pseudo-random current level per k-mer."""
-    rng = _seeded_rng("pore-model", kmer)
-    return SIGNAL_MEAN + SIGNAL_SPREAD * rng.standard_normal()
+    index = 0
+    for char in kmer.encode():
+        index = index * 4 + _BASE_INDEX[char]
+    return float(_pore_table()[index])
+
+
+def _sequence_levels(seq: str) -> np.ndarray:
+    """Vectorised k-mer → level lookup for a whole sequence."""
+    codes = np.frombuffer(seq.encode(), np.uint8)
+    lut = np.zeros(256, np.int64)
+    for char, idx in _BASE_INDEX.items():
+        lut[char] = idx
+    digits = lut[codes]
+    weights = 4 ** np.arange(KMER - 1, -1, -1)
+    idx = np.lib.stride_tricks.sliding_window_view(digits, KMER) @ weights
+    return _pore_table()[idx]
 
 
 def sequence_to_squiggle(
@@ -91,21 +120,18 @@ def sequence_to_squiggle(
     """
     if len(seq) < KMER:
         return np.zeros(0, np.float32), np.zeros(len(seq), np.int32)
-    levels = np.array(
-        [_kmer_level(seq[i : i + KMER]) for i in range(len(seq) - KMER + 1)],
-        np.float32,
-    )
+    levels = _sequence_levels(seq)
+    n_levels = levels.size
+    # Dwell: mean ≈ MEAN_DWELL samples/base with moderate variance.
+    # (A geometric dwell is more realistic but warps time so heavily that
+    # tiny CI-scale training sets can't learn; Poisson keeps the task honest
+    # yet learnable at small scale.)
     dwells = np.zeros(len(seq), np.int32)
-    chunks = []
-    for i, level in enumerate(levels):
-        # Dwell: mean ≈ MEAN_DWELL samples/base with moderate variance.
-        # (A geometric dwell is more realistic but warps time so heavily
-        # that tiny CI-scale training sets can't learn; Poisson keeps the
-        # task honest yet learnable at small scale.)
-        dwell = int(4 + rng.poisson(MEAN_DWELL - 4.0))
-        dwells[i] = dwell
-        chunks.append(level + SIGNAL_NOISE * rng.standard_normal(dwell))
-    return np.concatenate(chunks).astype(np.float32), dwells
+    dwells[:n_levels] = 4 + rng.poisson(MEAN_DWELL - 4.0, n_levels)
+    total = int(dwells.sum())
+    signal = np.repeat(levels, dwells[:n_levels]).astype(np.float32)
+    signal += SIGNAL_NOISE * rng.standard_normal(total).astype(np.float32)
+    return signal, dwells
 
 
 @dataclasses.dataclass
