@@ -1,0 +1,88 @@
+"""Native C++ fast5 reader: parity with the h5py backend + performance sanity.
+
+Builds the shared library on first run if the toolchain is present (skips
+cleanly otherwise) — the library is a build artifact, not checked in.
+"""
+
+import subprocess
+import sys
+import time
+
+import numpy as np
+import pytest
+
+from deepbinner_tpu.utils import fast5 as fast5_io
+from deepbinner_tpu.utils import simulate
+
+
+@pytest.fixture(scope="module")
+def native():
+    from deepbinner_tpu.native import fast5_reader
+
+    if not fast5_reader.available():
+        try:
+            from deepbinner_tpu.native.build import build
+
+            build(verbose=False)
+        except (subprocess.CalledProcessError, FileNotFoundError) as error:
+            pytest.skip(f"native toolchain unavailable: {error}")
+        # reset the load-failure latch after building
+        fast5_reader._load_failed = False
+        fast5_reader._lib = None
+    if not fast5_reader.available():
+        pytest.skip("native library failed to load")
+    return fast5_reader
+
+
+def test_single_read_parity(native, tmp_path):
+    sig = (np.arange(5000) % 700).astype(np.int16)
+    path = str(tmp_path / "one.fast5")
+    fast5_io.write_single_read_fast5(path, "read_abc123", sig, read_number=7)
+    h5py_reads = list(fast5_io.iterate_reads_in_fast5(path))
+    native_reads = native.read_file(path)
+    assert len(native_reads) == len(h5py_reads) == 1
+    assert native_reads[0][0] == h5py_reads[0][0] == "read_abc123"
+    np.testing.assert_array_equal(native_reads[0][1], h5py_reads[0][1])
+    assert native_reads[0][1].dtype == np.int16
+
+
+def test_multi_read_parity(native, tmp_path):
+    reads = [
+        ("aaaa-bbbb", np.full(100, -5, np.int16)),
+        ("cccc-dddd", np.arange(-300, 300, dtype=np.int16)),
+    ]
+    path = str(tmp_path / "multi.fast5")
+    fast5_io.write_multi_read_fast5(path, reads)
+    got = dict(native.read_file(path))
+    expected = dict(fast5_io.iterate_reads_in_fast5(path))
+    assert set(got) == set(expected)
+    for read_id in got:
+        np.testing.assert_array_equal(got[read_id], expected[read_id])
+
+
+def test_garbage_file_raises(native, tmp_path):
+    path = tmp_path / "bad.fast5"
+    path.write_bytes(b"nope, not hdf5")
+    with pytest.raises(OSError):
+        native.read_file(str(path))
+
+
+def test_dataset_parity_and_speed(native, tmp_path):
+    """Whole simulated dataset: identical output, and not slower than h5py."""
+    simulate.make_dataset(tmp_path, reads_per_barcode=2, none_reads=2,
+                          genome_length=500, seed=9, write_fastq=False)
+    files = fast5_io.find_all_fast5s(tmp_path)
+
+    t0 = time.monotonic()
+    h5py_all = {rid: s for f in files for rid, s in fast5_io.iterate_reads_in_fast5(f)}
+    t_h5py = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    native_all = {rid: s for f in files for rid, s in native.read_file(f)}
+    t_native = time.monotonic() - t0
+
+    assert set(native_all) == set(h5py_all)
+    for read_id in native_all:
+        np.testing.assert_array_equal(native_all[read_id], h5py_all[read_id])
+    print(f"h5py {t_h5py*1e3:.1f}ms vs native {t_native*1e3:.1f}ms "
+          f"for {len(files)} files", file=sys.stderr)
