@@ -75,7 +75,8 @@ def build_program(args) -> Tuple[object, object]:
         require_both=bool(getattr(args, "require_both", False)),
     )
     cfg = ClassifyConfig(
-        preprocess=pre, calling=calling, dual_model=end_vars is not None
+        preprocess=pre, calling=calling, dual_model=end_vars is not None,
+        use_pallas=bool(getattr(args, "pallas", False)),
     )
     program = ClassifyProgram(model, cfg, start_vars, end_vars)
     return program, net_cfg

@@ -80,6 +80,8 @@ def _add_classify_common(parser: argparse.ArgumentParser) -> None:
                       help="fast5 reader threads (default 4)")
     perf.add_argument("--native_reader", action="store_true",
                       help="Use the C++ libhdf5 batch reader if built")
+    perf.add_argument("--pallas", action="store_true",
+                      help="Run the CNN through the fused Pallas TPU kernels")
     perf.add_argument("--device_count", type=int, default=0,
                       help="Limit devices used (0 = all local devices)")
     perf.add_argument("--profile_dir",

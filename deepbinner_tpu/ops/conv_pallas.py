@@ -1,0 +1,165 @@
+"""Fused Conv1D + BatchNorm + ReLU as a Pallas (Mosaic) TPU kernel.
+
+Reference parity: the conv/BN/ReLU stacks inside
+``deepbinner/network_architecture.py`` execute as individual Keras/TF ops;
+here each ConvBNRelu unit is ONE kernel: K matmuls on the MXU (one per conv
+tap, accumulated in VMEM) with the folded BatchNorm affine and the ReLU
+applied before the result ever returns to HBM.
+
+Design (see /opt/skills/guides/pallas_guide.md):
+- A length-L 1D conv with kernel K and dilation d is Σ_k shift(x, k·d) @ W[k]
+  — im2row without materialising the im2row matrix.  The host pads L with
+  (K-1)·d/2 zeros on each side (XLA fuses the pad), so every tap is a
+  *static* slice: no masks, no dynamic shapes inside the kernel.
+- Grid over batch tiles; each program owns (TILE_N, L_pad, C_in) in VMEM and
+  writes (TILE_N, L, C_out).  The flattened (TILE_N·L, C_in) @ (C_in, C_out)
+  matmuls tile the 128×128 MXU; channel counts in DemuxNet are multiples of
+  16/32 by construction.
+- BatchNorm folds to scale = γ/√(σ²+ε), bias = β − μ·scale (inference), so
+  the affine is two VPU ops fused after the accumulator.
+
+f32 everywhere: bit-reproducible calls outrank bf16 throughput here
+(SURVEY.md §7 risk 1).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def fold_batchnorm(
+    gamma: jnp.ndarray,
+    beta: jnp.ndarray,
+    mean: jnp.ndarray,
+    var: jnp.ndarray,
+    eps: float = 1e-3,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Inference-time BN → (scale, bias) affine over channels."""
+    scale = gamma * jax.lax.rsqrt(var + eps)
+    bias = beta - mean * scale
+    return scale, bias
+
+
+def _conv_kernel(x_ref, w_ref, scale_ref, bias_ref, out_ref, *,
+                 taps: int, dilation: int, length: int, relu: bool):
+    tile_n = out_ref.shape[0]
+    c_in = x_ref.shape[-1]
+    c_out = out_ref.shape[-1]
+    acc = jnp.zeros((tile_n * length, c_out), jnp.float32)
+    for k in range(taps):  # static unroll: K matmuls on the MXU
+        offset = k * dilation
+        window = x_ref[:, offset : offset + length, :]
+        acc = acc + jnp.dot(
+            window.reshape(tile_n * length, c_in),
+            w_ref[k],
+            preferred_element_type=jnp.float32,
+        )
+    out = acc * scale_ref[0] + bias_ref[0]
+    if relu:
+        out = jnp.maximum(out, 0.0)
+    out_ref[:] = out.reshape(tile_n, length, c_out)
+
+
+def fused_conv1d_bn_relu(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    scale: jnp.ndarray,
+    bias: jnp.ndarray,
+    dilation: int = 1,
+    relu: bool = True,
+    tile_n: int = 8,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """SAME-padded 1D conv fused with a channel affine (+ReLU).
+
+    Args:
+      x: ``(N, L, C_in)`` float32.
+      kernel: ``(K, C_in, C_out)`` (flax Conv layout).
+      scale, bias: ``(C_out,)`` folded BatchNorm affine.
+
+    Returns ``(N, L, C_out)`` float32.
+    """
+    if interpret is None:
+        # Mosaic compiles only for TPU; everywhere else (CPU tests) fall back
+        # to the Pallas interpreter so the same code path stays testable.
+        interpret = jax.default_backend() != "tpu"
+    n, length, c_in = x.shape
+    taps, k_cin, c_out = kernel.shape
+    if k_cin != c_in:
+        raise ValueError(f"kernel C_in {k_cin} != input C_in {c_in}")
+    halo = (taps - 1) // 2 * dilation
+    x_pad = jnp.pad(x.astype(jnp.float32), ((0, 0), (halo, halo), (0, 0)))
+    pad_len = length + 2 * halo
+
+    # Pad the batch up to a tile multiple; sliced off at the end.
+    tile_n = min(tile_n, max(n, 1))
+    n_pad = -(-n // tile_n) * tile_n
+    if n_pad != n:
+        x_pad = jnp.pad(x_pad, ((0, n_pad - n), (0, 0), (0, 0)))
+
+    grid = (n_pad // tile_n,)
+    kernel_fn = functools.partial(
+        _conv_kernel, taps=taps, dilation=dilation, length=length, relu=relu
+    )
+    out = pl.pallas_call(
+        kernel_fn,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_n, pad_len, c_in), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((taps, c_in, c_out), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_out), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_out), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_n, length, c_out), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, length, c_out), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * length * taps * c_in * c_out,
+            bytes_accessed=4 * (n_pad * pad_len * c_in
+                                + taps * c_in * c_out
+                                + n_pad * length * c_out),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        x_pad,
+        kernel.astype(jnp.float32),
+        scale.reshape(1, c_out).astype(jnp.float32),
+        bias.reshape(1, c_out).astype(jnp.float32),
+    )
+    return out[:n]
+
+
+def conv1d_bn_relu_reference(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    scale: jnp.ndarray,
+    bias: jnp.ndarray,
+    dilation: int = 1,
+    relu: bool = True,
+) -> jnp.ndarray:
+    """lax.conv_general_dilated reference — the always-available fallback
+    and the numerical-parity oracle for the Pallas kernel."""
+    out = jax.lax.conv_general_dilated(
+        x.astype(jnp.float32),
+        kernel.astype(jnp.float32),
+        window_strides=(1,),
+        padding="SAME",
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )
+    out = out * scale + bias
+    if relu:
+        out = jnp.maximum(out, 0.0)
+    return out

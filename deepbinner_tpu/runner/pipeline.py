@@ -47,22 +47,29 @@ class ClassifyConfig:
     preprocess: PreprocessConfig = PreprocessConfig()
     calling: CallingConfig = CallingConfig()
     dual_model: bool = False
+    # Run the CNN through the fused Pallas conv kernels instead of the flax
+    # graph (same weights, parity-tested; see models/pallas_apply.py).
+    use_pallas: bool = False
 
 
 def _one_end_probs(
     model: DemuxNet,
+    cfg: "ClassifyConfig",
     variables: dict,
     signal: jnp.ndarray,
     lengths: jnp.ndarray,
-    pre_cfg: PreprocessConfig,
 ) -> jnp.ndarray:
     """(B, buffer) signal → (B, C) combined probabilities for one read end."""
-    windows, mask = preprocess_batch(signal, lengths, pre_cfg)
+    windows, mask = preprocess_batch(signal, lengths, cfg.preprocess)
     batch, num_windows, width = windows.shape
-    logits = model.apply(
-        variables, windows.reshape(batch * num_windows, width, 1), train=False
-    )
-    probs = jax.nn.softmax(logits, axis=-1)
+    flat = windows.reshape(batch * num_windows, width, 1)
+    if cfg.use_pallas:
+        from deepbinner_tpu.models.pallas_apply import apply_inference_pallas
+
+        probs = apply_inference_pallas(model.config, variables, flat)
+    else:
+        logits = model.apply(variables, flat, train=False)
+        probs = jax.nn.softmax(logits, axis=-1)
     probs = probs.reshape(batch, num_windows, -1)
     return combine_window_probs(probs, mask)
 
@@ -79,14 +86,14 @@ def classify_step(
 ) -> CallTable:
     """Pure function computing the call table for one padded batch."""
     start_probs = _one_end_probs(
-        model, start_variables, start_signal, start_lengths, cfg.preprocess
+        model, cfg, start_variables, start_signal, start_lengths
     )
     start_call = call_one_end(start_probs, cfg.calling)
 
     if cfg.dual_model:
         assert end_variables is not None and end_signal is not None
         end_probs = _one_end_probs(
-            model, end_variables, end_signal, end_lengths, cfg.preprocess
+            model, cfg, end_variables, end_signal, end_lengths
         )
         end_call = call_one_end(end_probs, cfg.calling)
         final = reconcile_calls(start_call, end_call, cfg.calling)

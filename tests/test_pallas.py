@@ -1,0 +1,76 @@
+"""Pallas kernel parity vs lax reference (interpret mode on CPU).
+
+SURVEY.md §4 item 3: kernel tests against lax.conv_general_dilated on random
+inputs with tight tolerances gate the Pallas swap-in.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepbinner_tpu.models.network import NetworkConfig, init_params
+from deepbinner_tpu.models.pallas_apply import apply_inference_pallas
+from deepbinner_tpu.ops.conv_pallas import (
+    conv1d_bn_relu_reference,
+    fold_batchnorm,
+    fused_conv1d_bn_relu,
+)
+
+TINY_NET = NetworkConfig(
+    input_length=256, stem_features=8, block_features=(8,),
+    inception_features=(16,), head_features=16,
+)
+
+
+@pytest.mark.parametrize("taps,dilation,c_in,c_out", [
+    (3, 1, 8, 16),
+    (1, 1, 16, 8),
+    (3, 2, 8, 8),
+    (3, 4, 16, 32),
+    (5, 1, 8, 8),
+])
+def test_conv_kernel_parity(rng, taps, dilation, c_in, c_out):
+    n, length = 5, 128  # deliberately not a tile multiple of 8
+    x = jnp.asarray(rng.normal(size=(n, length, c_in)), jnp.float32)
+    kernel = jnp.asarray(rng.normal(size=(taps, c_in, c_out)), jnp.float32)
+    scale = jnp.asarray(rng.normal(size=(c_out,)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(c_out,)), jnp.float32)
+
+    got = fused_conv1d_bn_relu(
+        x, kernel, scale, bias, dilation=dilation, interpret=True
+    )
+    want = conv1d_bn_relu_reference(x, kernel, scale, bias, dilation=dilation)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_conv_kernel_no_relu(rng):
+    x = jnp.asarray(rng.normal(size=(2, 64, 8)), jnp.float32)
+    kernel = jnp.asarray(rng.normal(size=(3, 8, 8)), jnp.float32)
+    ones = jnp.ones((8,), jnp.float32)
+    zeros = jnp.zeros((8,), jnp.float32)
+    got = fused_conv1d_bn_relu(x, kernel, ones, zeros, relu=False,
+                               interpret=True)
+    assert float(np.asarray(got).min()) < 0  # negatives survive without relu
+
+
+def test_fold_batchnorm():
+    gamma = jnp.asarray([2.0]); beta = jnp.asarray([1.0])
+    mean = jnp.asarray([3.0]); var = jnp.asarray([4.0])
+    scale, bias = fold_batchnorm(gamma, beta, mean, var, eps=0.0)
+    np.testing.assert_allclose(float(scale[0]), 1.0)
+    np.testing.assert_allclose(float(bias[0]), -2.0)
+
+
+def test_full_network_parity(rng):
+    """Whole DemuxNet: Pallas path == flax path on the same weights."""
+    model, variables = init_params(jax.random.PRNGKey(1), TINY_NET)
+    x = jnp.asarray(rng.normal(size=(4, TINY_NET.input_length)), jnp.float32)
+    want = np.asarray(
+        jax.nn.softmax(model.apply(variables, x[:, :, None], train=False), -1)
+    )
+    got = np.asarray(
+        apply_inference_pallas(TINY_NET, variables, x, interpret=True)
+    )
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
