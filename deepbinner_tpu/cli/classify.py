@@ -74,9 +74,16 @@ def build_program(args) -> Tuple[object, object]:
         score_diff=args.score_diff,
         require_both=bool(getattr(args, "require_both", False)),
     )
+    use_pallas = bool(getattr(args, "pallas", False))
+    from deepbinner_tpu.models.network import NetworkConfig as _NetCfg
+
+    if use_pallas and not isinstance(net_cfg, _NetCfg):
+        log("  --pallas only supports native .dbt models; using the XLA path "
+            "for this imported Keras graph")
+        use_pallas = False
     cfg = ClassifyConfig(
         preprocess=pre, calling=calling, dual_model=end_vars is not None,
-        use_pallas=bool(getattr(args, "pallas", False)),
+        use_pallas=use_pallas,
     )
     program = ClassifyProgram(model, cfg, start_vars, end_vars)
     return program, net_cfg

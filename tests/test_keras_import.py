@@ -1,0 +1,95 @@
+"""Keras-HDF5 importer parity against keras itself (jax backend).
+
+Builds a reference-shaped model (conv/pool/BN/dropout/noise/inception-style
+concat/dilated conv/dense-softmax — the SURVEY.md §2 item 8 ingredient list)
+in keras, saves legacy HDF5, imports with our h5py-only reader, and compares
+predictions.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+os.environ.setdefault("KERAS_BACKEND", "jax")
+
+keras = pytest.importorskip("keras")
+
+from deepbinner_tpu.models.keras_import import load_keras_model  # noqa: E402
+
+
+def _reference_style_model():
+    inputs = keras.Input(shape=(64, 1))
+    x = keras.layers.GaussianNoise(0.02)(inputs)
+    x = keras.layers.Conv1D(8, 3, padding="same", activation="relu")(x)
+    x = keras.layers.BatchNormalization()(x)
+    x = keras.layers.MaxPooling1D(2)(x)
+    # inception-style parallel branches incl. a dilated conv
+    b1 = keras.layers.Conv1D(4, 1, padding="same", activation="relu")(x)
+    b2 = keras.layers.Conv1D(4, 3, padding="same", activation="relu")(x)
+    b3 = keras.layers.Conv1D(4, 3, padding="same", dilation_rate=2,
+                             activation="relu")(x)
+    x = keras.layers.Concatenate()([b1, b2, b3])
+    x = keras.layers.BatchNormalization()(x)
+    x = keras.layers.MaxPooling1D(2)(x)
+    x = keras.layers.Dropout(0.1)(x)
+    x = keras.layers.Conv1D(8, 3, padding="same", activation="relu")(x)
+    x = keras.layers.GlobalAveragePooling1D()(x)
+    outputs = keras.layers.Dense(13, activation="softmax")(x)
+    return keras.Model(inputs, outputs)
+
+
+@pytest.fixture(scope="module")
+def saved_model(tmp_path_factory):
+    model = _reference_style_model()
+    path = str(tmp_path_factory.mktemp("keras") / "model.h5")
+    model.save(path)  # legacy HDF5 (extension-selected)
+    return model, path
+
+
+def test_import_runs_and_matches_keras(saved_model, rng):
+    model, path = saved_model
+    imported, variables, config, meta = load_keras_model(path)
+    assert config.input_length == 64
+    assert config.num_classes == 13
+
+    x = rng.normal(size=(3, 64, 1)).astype(np.float32)
+    want = np.asarray(model(x, training=False))
+
+    import jax
+
+    logits = imported.apply(variables, x, train=False)
+    got = np.asarray(jax.nn.softmax(logits, axis=-1))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
+
+
+def test_import_strips_final_softmax(saved_model, rng):
+    _, path = saved_model
+    imported, variables, _config, _meta = load_keras_model(path)
+    x = rng.normal(size=(2, 64, 1)).astype(np.float32)
+    logits = np.asarray(imported.apply(variables, x, train=False))
+    # logits, not probabilities: rows must not sum to 1
+    assert not np.allclose(logits.sum(-1), 1.0, atol=1e-3)
+
+
+def test_import_through_checkpoint_loader(saved_model):
+    """checkpoint.load_model sniffs HDF5 and routes here (CLI model files)."""
+    from deepbinner_tpu.models.checkpoint import load_model
+
+    _, path = saved_model
+    model, variables, config, meta = load_model(path)
+    assert config.num_classes == 13
+    assert "keras_version" in meta
+
+
+def test_unsupported_layer_is_loud(tmp_path):
+    lstm = keras.Sequential([
+        keras.layers.Input(shape=(16, 1)),
+        keras.layers.LSTM(4),
+        keras.layers.Dense(2),
+    ])
+    path = str(tmp_path / "lstm.h5")
+    lstm.save(path)
+    imported, variables, _c, _m = load_keras_model(path)
+    with pytest.raises(ValueError, match="unsupported Keras layer"):
+        imported.apply(variables, np.zeros((1, 16, 1), np.float32))
