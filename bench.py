@@ -65,7 +65,8 @@ def load_flagship():
     return model, variables, net_cfg
 
 
-def measure_tpu(fast5_dir: str, batch_size: int, num_readers: int) -> dict:
+def measure_tpu(fast5_dir: str, batch_size: int, num_readers: int,
+                use_pallas: bool = False, native_reader: bool = False) -> dict:
     import jax
 
     from deepbinner_tpu.ops.calling import CallingConfig
@@ -79,9 +80,19 @@ def measure_tpu(fast5_dir: str, batch_size: int, num_readers: int) -> dict:
         preprocess=PreprocessConfig(),  # flagship geometry: 6144/1024/512
         calling=CallingConfig(),
         dual_model=False,
+        use_pallas=use_pallas,
     )
     program = ClassifyProgram(model, cfg, variables)
     files = find_all_fast5s(os.path.dirname(fast5_dir))
+
+    read_fn = None
+    if native_reader:
+        from deepbinner_tpu.native import fast5_reader
+
+        if fast5_reader.available():
+            read_fn = fast5_reader.read_file
+        else:
+            print("[bench] native reader not built; using h5py", file=sys.stderr)
 
     t0 = time.monotonic()
     program.warm_up(batch_size)
@@ -89,11 +100,12 @@ def measure_tpu(fast5_dir: str, batch_size: int, num_readers: int) -> dict:
 
     # Warm the file cache + one timed measurement pass.
     stats = ExecutorStats()
+    kwargs = {"read_fn": read_fn} if read_fn else {}
     t0 = time.monotonic()
     n = 0
     for _result in classify_files(
         program, files, batch_size=batch_size, num_readers=num_readers,
-        stats=stats,
+        stats=stats, **kwargs,
     ):
         n += 1
     elapsed = time.monotonic() - t0
@@ -154,11 +166,17 @@ def main() -> None:
     parser.add_argument("--batch-size", type=int, default=256)
     parser.add_argument("--num-readers", type=int, default=8)
     parser.add_argument("--measure-baseline", action="store_true")
+    parser.add_argument("--pallas", action="store_true",
+                        help="run the CNN through the fused Pallas kernels")
+    parser.add_argument("--native-reader", action="store_true",
+                        help="use the C++ libhdf5 batch reader (build first)")
     args = parser.parse_args()
 
     baseline = get_baseline(args)
     fast5_dir = ensure_dataset(args.reads)
-    result = measure_tpu(fast5_dir, args.batch_size, args.num_readers)
+    result = measure_tpu(fast5_dir, args.batch_size, args.num_readers,
+                         use_pallas=args.pallas,
+                         native_reader=args.native_reader)
 
     value = result["reads_per_s"]
     vs = value / baseline["reads_per_s"] if baseline.get("reads_per_s") else None
