@@ -85,7 +85,27 @@ def build_program(args) -> Tuple[object, object]:
         preprocess=pre, calling=calling, dual_model=end_vars is not None,
         use_pallas=use_pallas,
     )
-    program = ClassifyProgram(model, cfg, start_vars, end_vars)
+
+    # Data-parallel over local devices: shard the batch axis of every input
+    # over a ('data',) mesh; weights replicate; jit inserts the collectives.
+    mesh = None
+    device_count = int(getattr(args, "device_count", 0) or 0)
+    import jax
+
+    local = len(jax.devices())
+    use_devices = device_count if device_count > 0 else local
+    # The batch must divide evenly across the data axis; drop to the largest
+    # device count that fits rather than erroring (a batch of 4 on 8 devices
+    # just uses 4).
+    while use_devices > 1 and args.batch_size % use_devices:
+        use_devices -= 1
+    if use_devices > 1:
+        from deepbinner_tpu.parallel import mesh as mesh_lib
+
+        mesh = mesh_lib.make_mesh(jax.devices()[:use_devices])
+        log(f"  data-parallel over {mesh.shape['data']} device(s)")
+
+    program = ClassifyProgram(model, cfg, start_vars, end_vars, mesh=mesh)
     return program, net_cfg
 
 
@@ -160,11 +180,15 @@ def classify_fast5_files(args) -> None:
 def _select_read_fn(args):
     from deepbinner_tpu.runner.executor import _default_read_fn
 
-    if getattr(args, "native_reader", False):
+    wants_native = getattr(args, "native_reader", False)
+    no_native = getattr(args, "no_native_reader", False)
+    if not no_native:
         from deepbinner_tpu.native import fast5_reader
 
         if fast5_reader.available():
             log("  using native C++ fast5 reader")
             return fast5_reader.read_file
-        log("  native reader not built; falling back to h5py")
+        if wants_native:
+            log("  native reader not built; falling back to h5py "
+                "(build: python -m deepbinner_tpu.native.build)")
     return _default_read_fn

@@ -79,7 +79,10 @@ def _add_classify_common(parser: argparse.ArgumentParser) -> None:
     perf.add_argument("--num_readers", type=int, default=4,
                       help="fast5 reader threads (default 4)")
     perf.add_argument("--native_reader", action="store_true",
-                      help="Use the C++ libhdf5 batch reader if built")
+                      help="Use the C++ libhdf5 batch reader (default: auto "
+                           "when built)")
+    perf.add_argument("--no_native_reader", action="store_true",
+                      help="Force the h5py reader even if the native one is built")
     perf.add_argument("--pallas", action="store_true",
                       help="Run the CNN through the fused Pallas TPU kernels")
     perf.add_argument("--device_count", type=int, default=0,
