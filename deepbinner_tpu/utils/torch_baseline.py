@@ -158,7 +158,8 @@ def torch_classify_fn(
                 continue
             with torch.no_grad():
                 probs = model(torch.tensor(windows)).numpy()
-            combined = probs.max(axis=0)
+            # best-evidence-window combine (mirrors ops.calling)
+            combined = probs[int(np.argmax(probs[:, 1:].max(axis=1)))]
             barcode = int(np.argmax(combined[1:])) + 1
             top = np.sort(combined[1:])
             ok = (

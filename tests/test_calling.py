@@ -22,20 +22,27 @@ def _probs(rows):
     return jnp.asarray(out)
 
 
-def test_combine_best_window():
-    """Max-combine: each class scored by its best valid window."""
+def test_combine_best_evidence_window():
+    """The read is represented by its strongest-barcode window's vector."""
     probs = np.zeros((1, 3, NUM_CLASSES), np.float32)
-    probs[0, 0, 1] = 0.9   # window 0: strong barcode01
+    probs[0, 0, 1] = 0.9   # window 0: strong barcode01 ← best evidence
     probs[0, 0, 2] = 0.1
-    probs[0, 1, 0] = 0.95  # window 1: genomic → none
-    probs[0, 1, 2] = 0.4
+    probs[0, 1, 0] = 0.55  # window 1: weaker barcode02 evidence
+    probs[0, 1, 2] = 0.45
     probs[0, 2, 3] = 1.0   # masked out below
     mask = jnp.asarray([[True, True, False]])
     combined = np.asarray(combine_window_probs(jnp.asarray(probs), mask))
-    np.testing.assert_allclose(combined[0, 1], 0.9, atol=1e-6)   # best window
-    np.testing.assert_allclose(combined[0, 2], 0.4, atol=1e-6)
-    np.testing.assert_allclose(combined[0, 0], 0.95, atol=1e-6)
-    np.testing.assert_allclose(combined[0, 3], 0.0, atol=1e-6)   # masked
+    # window 0's whole vector is taken — not a per-class max across windows
+    np.testing.assert_allclose(combined[0], probs[0, 0], atol=1e-6)
+
+
+def test_combine_masked_window_never_selected():
+    probs = np.zeros((1, 2, NUM_CLASSES), np.float32)
+    probs[0, 0, 0] = 1.0   # valid window: pure none
+    probs[0, 1, 5] = 1.0   # masked window: strong barcode — must be ignored
+    mask = jnp.asarray([[True, False]])
+    combined = np.asarray(combine_window_probs(jnp.asarray(probs), mask))
+    np.testing.assert_allclose(combined[0], probs[0, 0], atol=1e-6)
 
 
 def test_combine_no_valid_windows_is_none():
