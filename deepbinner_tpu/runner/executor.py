@@ -139,9 +139,12 @@ def build_batch(
     """
     buffer = cfg.buffer_size
     ids: List[str] = []
-    start = np.zeros((batch_size, buffer), np.float32)
+    # int16 end-to-end on the host: raw DAC values are int16 natively and the
+    # device casts to f32 in-graph — this halves host→device transfer bytes
+    # (measured ~60 MB/s on the tunnel; the batch is the dominant payload).
+    start = np.zeros((batch_size, buffer), np.int16)
     start_len = np.zeros((batch_size,), np.int32)
-    end = np.zeros((batch_size, buffer), np.float32) if dual else None
+    end = np.zeros((batch_size, buffer), np.int16) if dual else None
     end_len = np.zeros((batch_size,), np.int32) if dual else None
 
     for i, (read_id, signal) in enumerate(reads):

@@ -171,7 +171,7 @@ class ClassifyProgram:
     def warm_up(self, batch_size: int) -> None:
         """Compile ahead of time for a batch size (realtime latency budget)."""
         buf = self.cfg.preprocess.buffer_size
-        sig = jnp.zeros((batch_size, buf), jnp.float32)
+        sig = jnp.zeros((batch_size, buf), jnp.int16)
         lengths = jnp.full((batch_size,), buf, jnp.int32)
         if self.cfg.dual_model:
             out = self(sig, lengths, sig, lengths)
