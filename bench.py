@@ -119,6 +119,47 @@ def measure_tpu(fast5_dir: str, batch_size: int, num_readers: int,
     }
 
 
+def measure_latency(batch_size: int = 16, trials: int = 20) -> dict:
+    """Realtime-mode latency: signal-ready → calls-on-host for a small batch.
+
+    This is the number the MinKNOW latency budget constrains (BASELINE.json
+    config 5): how long after a batch of fresh reads appears until their
+    calls are available to move files.
+    """
+    import numpy as np
+
+    from deepbinner_tpu.ops.calling import CallingConfig
+    from deepbinner_tpu.ops.preprocess import PreprocessConfig
+    from deepbinner_tpu.runner.executor import build_batch
+    from deepbinner_tpu.runner.pipeline import ClassifyConfig, ClassifyProgram
+
+    model, variables, _net = load_flagship()
+    cfg = ClassifyConfig(PreprocessConfig(), CallingConfig(), False)
+    program = ClassifyProgram(model, cfg, variables)
+    program.warm_up(batch_size)
+
+    rng = np.random.default_rng(0)
+    reads = [
+        (f"r{i}", rng.integers(300, 600, 20000).astype(np.int16))
+        for i in range(batch_size)
+    ]
+    latencies = []
+    for _ in range(trials):
+        t0 = time.monotonic()
+        _ids, sig, lens, _e, _el = build_batch(
+            reads, cfg.preprocess, batch_size, False
+        )
+        out = program(sig, lens)
+        np.asarray(out.calls)  # host-visible
+        latencies.append(time.monotonic() - t0)
+    latencies.sort()
+    return {
+        "p50_ms": round(latencies[len(latencies) // 2] * 1e3, 1),
+        "p90_ms": round(latencies[int(len(latencies) * 0.9)] * 1e3, 1),
+        "batch_size": batch_size,
+    }
+
+
 def measure_baseline(n_reads: int = 64) -> dict:
     """Reference-equivalent torch-CPU pipeline reads/s on this host."""
     from deepbinner_tpu.ops.calling import CallingConfig
@@ -170,7 +211,21 @@ def main() -> None:
                         help="run the CNN through the fused Pallas kernels")
     parser.add_argument("--native-reader", action="store_true",
                         help="use the C++ libhdf5 batch reader (build first)")
+    parser.add_argument("--latency", action="store_true",
+                        help="measure realtime per-batch latency instead of "
+                             "throughput")
     args = parser.parse_args()
+
+    if args.latency:
+        result = measure_latency()
+        print(json.dumps({
+            "metric": "realtime_batch_latency_p50",
+            "value": result["p50_ms"],
+            "unit": "ms",
+            "vs_baseline": None,
+        }))
+        print(f"[bench] latency {result}", file=sys.stderr)
+        return
 
     baseline = get_baseline(args)
     fast5_dir = ensure_dataset(args.reads)
