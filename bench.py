@@ -89,10 +89,20 @@ def measure_tpu(fast5_dir: str, batch_size: int, num_readers: int,
     if native_reader:
         from deepbinner_tpu.native import fast5_reader
 
+        if not fast5_reader.available():
+            # g++ + libhdf5 are in the image; build on first use.  The native
+            # reader reads off the GIL — h5py's GIL churn against the device
+            # dispatch threads collapses throughput ~30x (measured).
+            try:
+                from deepbinner_tpu.native.build import build
+
+                build(verbose=False)
+                fast5_reader._load_failed = False
+            except Exception as error:  # noqa: BLE001 — bench must not die
+                print(f"[bench] native reader build failed ({error}); "
+                      f"using h5py", file=sys.stderr)
         if fast5_reader.available():
             read_fn = fast5_reader.read_file
-        else:
-            print("[bench] native reader not built; using h5py", file=sys.stderr)
 
     t0 = time.monotonic()
     program.warm_up(batch_size)
@@ -209,8 +219,9 @@ def main() -> None:
     parser.add_argument("--measure-baseline", action="store_true")
     parser.add_argument("--pallas", action="store_true",
                         help="run the CNN through the fused Pallas kernels")
-    parser.add_argument("--native-reader", action="store_true",
-                        help="use the C++ libhdf5 batch reader (build first)")
+    parser.add_argument("--no-native-reader", action="store_true",
+                        help="force the h5py reader (native is the default; "
+                             "it is built on first use)")
     parser.add_argument("--latency", action="store_true",
                         help="measure realtime per-batch latency instead of "
                              "throughput")
@@ -231,7 +242,7 @@ def main() -> None:
     fast5_dir = ensure_dataset(args.reads)
     result = measure_tpu(fast5_dir, args.batch_size, args.num_readers,
                          use_pallas=args.pallas,
-                         native_reader=args.native_reader)
+                         native_reader=not args.no_native_reader)
 
     value = result["reads_per_s"]
     vs = value / baseline["reads_per_s"] if baseline.get("reads_per_s") else None

@@ -67,6 +67,8 @@ def _conv_kernel(x_ref, w_ref, scale_ref, bias_ref, out_ref, *,
     out_ref[:] = out.reshape(tile_n, length, c_out)
 
 
+
+
 def fused_conv1d_bn_relu(
     x: jnp.ndarray,
     kernel: jnp.ndarray,
@@ -94,11 +96,21 @@ def fused_conv1d_bn_relu(
     taps, k_cin, c_out = kernel.shape
     if k_cin != c_in:
         raise ValueError(f"kernel C_in {k_cin} != input C_in {c_in}")
+    if c_in == 1:
+        # The stem layer: a (N·L, 1) @ (1, C) "matmul" is useless on the MXU
+        # and the size-1 trailing dim lane-pads every VMEM buffer 128×,
+        # OOMing scoped VMEM.  It is a negligible slice of total FLOPs — let
+        # XLA emit it; Pallas owns every wide layer.
+        return conv1d_bn_relu_reference(x, kernel, scale, bias,
+                                        dilation=dilation, relu=relu)
     halo = (taps - 1) // 2 * dilation
     x_pad = jnp.pad(x.astype(jnp.float32), ((0, 0), (halo, halo), (0, 0)))
     pad_len = length + 2 * halo
 
-    # Pad the batch up to a tile multiple; sliced off at the end.
+    # Adaptive tile: keep the accumulator (tile_n·L rows × ≥128 lanes) and the
+    # in/out blocks inside scoped VMEM (~16 MB, double-buffered by Mosaic).
+    # tile_n·L ≤ 4096 keeps each of acc/out ≤ 2 MB at c_out ≤ 128.
+    tile_n = min(tile_n, max(4096 // max(length, 1), 1))
     tile_n = min(tile_n, max(n, 1))
     n_pad = -(-n // tile_n) * tile_n
     if n_pad != n:
@@ -108,12 +120,14 @@ def fused_conv1d_bn_relu(
     kernel_fn = functools.partial(
         _conv_kernel, taps=taps, dilation=dilation, length=length, relu=relu
     )
+    x_arg = x_pad
+    x_spec = pl.BlockSpec((tile_n, pad_len, c_in), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel_fn,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tile_n, pad_len, c_in), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            x_spec,
             pl.BlockSpec((taps, c_in, c_out), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c_out), lambda i: (0, 0),
@@ -133,7 +147,7 @@ def fused_conv1d_bn_relu(
         ),
         interpret=interpret,
     )(
-        x_pad,
+        x_arg,
         kernel.astype(jnp.float32),
         scale.reshape(1, c_out).astype(jnp.float32),
         bias.reshape(1, c_out).astype(jnp.float32),
