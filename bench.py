@@ -66,7 +66,8 @@ def load_flagship():
 
 
 def measure_tpu(fast5_dir: str, batch_size: int, num_readers: int,
-                use_pallas: bool = False, native_reader: bool = False) -> dict:
+                use_pallas: bool = False, native_reader: bool = False,
+                reader_processes: int = 0) -> dict:
     import jax
 
     from deepbinner_tpu.ops.calling import CallingConfig
@@ -110,13 +111,24 @@ def measure_tpu(fast5_dir: str, batch_size: int, num_readers: int,
 
     # Warm the file cache + one timed measurement pass.
     stats = ExecutorStats()
-    kwargs = {"read_fn": read_fn} if read_fn else {}
     t0 = time.monotonic()
     n = 0
-    for _result in classify_files(
-        program, files, batch_size=batch_size, num_readers=num_readers,
-        stats=stats, **kwargs,
-    ):
+    if reader_processes > 0:
+        from deepbinner_tpu.runner.executor import classify_stream
+        from deepbinner_tpu.runner.mp_reader import iter_signals_mp
+
+        results = classify_stream(
+            program,
+            iter_signals_mp(files, num_workers=reader_processes, stats=stats),
+            batch_size=batch_size, stats=stats,
+        )
+    else:
+        kwargs = {"read_fn": read_fn} if read_fn else {}
+        results = classify_files(
+            program, files, batch_size=batch_size, num_readers=num_readers,
+            stats=stats, **kwargs,
+        )
+    for _result in results:
         n += 1
     elapsed = time.monotonic() - t0
     return {
@@ -222,6 +234,8 @@ def main() -> None:
     parser.add_argument("--no-native-reader", action="store_true",
                         help="force the h5py reader (native is the default; "
                              "it is built on first use)")
+    parser.add_argument("--reader-processes", type=int, default=0,
+                        help="reader worker processes (0 = in-process)")
     parser.add_argument("--latency", action="store_true",
                         help="measure realtime per-batch latency instead of "
                              "throughput")
@@ -242,7 +256,8 @@ def main() -> None:
     fast5_dir = ensure_dataset(args.reads)
     result = measure_tpu(fast5_dir, args.batch_size, args.num_readers,
                          use_pallas=args.pallas,
-                         native_reader=not args.no_native_reader)
+                         native_reader=not args.no_native_reader,
+                         reader_processes=args.reader_processes)
 
     value = result["reads_per_s"]
     vs = value / baseline["reads_per_s"] if baseline.get("reads_per_s") else None

@@ -147,11 +147,23 @@ def classify_fast5_files(args) -> None:
     progress = Progress("reads classified")
     local_rows: List[Tuple[str, str]] = []
     verbose_rows: List[str] = []
-    with profile:
-        for result in classify_files(
+
+    reader_processes = int(getattr(args, "reader_processes", 0) or 0)
+    if reader_processes > 0:
+        from deepbinner_tpu.runner.executor import classify_stream
+        from deepbinner_tpu.runner.mp_reader import iter_signals_mp
+
+        signals = iter_signals_mp(shard, num_workers=reader_processes,
+                                  stats=stats)
+        results = classify_stream(program, signals,
+                                  batch_size=args.batch_size, stats=stats)
+    else:
+        results = classify_files(
             program, shard, batch_size=args.batch_size,
             num_readers=args.num_readers, stats=stats, read_fn=read_fn,
-        ):
+        )
+    with profile:
+        for result in results:
             local_rows.append(
                 (result.read_id, table.class_index_to_call(result.call))
             )

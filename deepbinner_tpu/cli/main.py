@@ -78,6 +78,9 @@ def _add_classify_common(parser: argparse.ArgumentParser) -> None:
     perf = parser.add_argument_group("Performance")
     perf.add_argument("--num_readers", type=int, default=4,
                       help="fast5 reader threads (default 4)")
+    perf.add_argument("--reader_processes", type=int, default=0,
+                      help="fast5 reader worker processes (0 = in-process "
+                           "threads; >0 scales past the single-libhdf5 lock)")
     perf.add_argument("--native_reader", action="store_true",
                       help="Use the C++ libhdf5 batch reader (default: auto "
                            "when built)")
