@@ -50,6 +50,7 @@ def build_program(args) -> Tuple[object, object]:
     log(f"  start model: {args.start_model} "
         f"(input {net_cfg.input_length}, kit {meta.get('kit', '?')})")
     end_vars = None
+    end_model = None
     if args.end_model:
         end_model, end_vars, end_cfg, end_meta = load_model(args.end_model)
         if end_cfg != net_cfg:
@@ -105,7 +106,11 @@ def build_program(args) -> Tuple[object, object]:
         mesh = mesh_lib.make_mesh(jax.devices()[:use_devices])
         log(f"  data-parallel over {mesh.shape['data']} device(s)")
 
-    program = ClassifyProgram(model, cfg, start_vars, end_vars, mesh=mesh)
+    # The end model brings its own graph object: imported Keras graphs
+    # execute by layer name, so running end weights through the start graph
+    # would crash (different auto-names) or silently misexecute.
+    program = ClassifyProgram(model, cfg, start_vars, end_vars, mesh=mesh,
+                              end_model=end_model)
     return program, net_cfg
 
 
@@ -153,8 +158,10 @@ def classify_fast5_files(args) -> None:
         from deepbinner_tpu.runner.executor import classify_stream
         from deepbinner_tpu.runner.mp_reader import iter_signals_mp
 
-        signals = iter_signals_mp(shard, num_workers=reader_processes,
-                                  stats=stats)
+        signals = iter_signals_mp(
+            shard, num_workers=reader_processes, stats=stats,
+            use_native=not getattr(args, "no_native_reader", False),
+        )
         results = classify_stream(program, signals,
                                   batch_size=args.batch_size, stats=stats)
     else:

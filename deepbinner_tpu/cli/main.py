@@ -189,6 +189,13 @@ def _add_simulate_args(parser: argparse.ArgumentParser) -> None:
 def main(argv: Optional[List[str]] = None) -> None:
     args = get_arguments(argv)
     name = args.subparser_name
+    if name in ("classify", "realtime", "train"):
+        # Multi-host launch (JAX_COORDINATOR_ADDRESS et al.): initialise the
+        # process group before any workload touches JAX (SURVEY.md §3.5 —
+        # the reference's "env setup before the keras import" analog).
+        from deepbinner_tpu.parallel.dist import maybe_initialize
+
+        maybe_initialize()
     # Lazy imports: each workload pulls in only what it needs.
     if name == "classify":
         from deepbinner_tpu.cli.classify import classify_fast5_files

@@ -32,16 +32,19 @@ from deepbinner_tpu.utils.log import log, section
 _MAX_ATTEMPTS = 5
 
 
-def _classify_new_files(program, new_files: List[str], args, counts: Dict[str, int]):
+def _classify_new_files(program, new_files: List[str], args, counts: Dict[str, int],
+                        read_fn=None):
     """Classify a batch of files; returns {path: barcode_call} for movable files."""
     from deepbinner_tpu.runner.executor import classify_stream
 
+    if read_fn is None:
+        read_fn = lambda path: list(iterate_reads_in_fast5(path))  # noqa: E731
     signals = []
     owners: Dict[str, str] = {}  # read_id -> path
     unreadable: Set[str] = set()
     for path in new_files:
         try:
-            reads = list(iterate_reads_in_fast5(path))
+            reads = read_fn(path)
         except Exception:
             reads = []
         if not reads:
@@ -71,7 +74,10 @@ def realtime(args) -> None:
     log(f"  watching {args.in_dir} → {args.out_dir}")
     os.makedirs(args.out_dir, exist_ok=True)
 
+    from deepbinner_tpu.cli.classify import _select_read_fn
+
     program, _ = build_program(args)
+    read_fn = _select_read_fn(args)  # native C++ reader when built
     t0 = time.monotonic()
     program.warm_up(args.batch_size)
     log(f"  program compiled in {time.monotonic() - t0:.1f}s; watching...")
@@ -89,7 +95,7 @@ def realtime(args) -> None:
             if new_files:
                 batch_start = time.monotonic()
                 moves, unreadable = _classify_new_files(
-                    program, new_files, args, counts
+                    program, new_files, args, counts, read_fn=read_fn
                 )
                 for path, call in moves.items():
                     bin_dir = os.path.join(args.out_dir, call)

@@ -252,7 +252,9 @@ class KerasGraphModel:
                 last_name = name
                 continue
             if self._sequential or not layer.get("inbound_nodes"):
-                inputs = [results[last_name]]
+                # Keras 2 Sequential configs have no InputLayer entry: the
+                # first real layer consumes the model input directly.
+                inputs = [results[last_name] if last_name is not None else x]
             else:
                 inputs = [
                     results[ref[0]]

@@ -93,7 +93,7 @@ class InceptionModule(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         quarter = self.features // 4
         b1 = ConvBNRelu(quarter, 1, dtype=self.dtype, name="branch1x1")(x, train)
-        b3 = ConvBNRelu(self.features - 3 * quarter + quarter, 3,
+        b3 = ConvBNRelu(self.features - 3 * quarter, 3,
                         dtype=self.dtype, name="branch3")(x, train)
         bd = ConvBNRelu(quarter, 3, dilation=self.dilation,
                         dtype=self.dtype, name="branch_dilated")(x, train)
@@ -108,12 +108,7 @@ class DemuxNet(nn.Module):
     config: NetworkConfig = NetworkConfig()
 
     @nn.compact
-    def __call__(
-        self,
-        x: jnp.ndarray,
-        train: bool = False,
-        rngs_in_module: bool = True,
-    ) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         cfg = self.config
         dtype = cfg.compute_dtype
         x = x.astype(dtype)

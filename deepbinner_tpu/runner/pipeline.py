@@ -83,8 +83,14 @@ def classify_step(
     start_lengths: jnp.ndarray,
     end_signal: Optional[jnp.ndarray] = None,
     end_lengths: Optional[jnp.ndarray] = None,
+    end_model: Optional[DemuxNet] = None,
 ) -> CallTable:
-    """Pure function computing the call table for one padded batch."""
+    """Pure function computing the call table for one padded batch.
+
+    ``end_model`` defaults to ``model`` — correct for native .dbt models
+    (same architecture, different weights).  Imported Keras graphs execute
+    by layer *name*, so the end model must bring its own graph object.
+    """
     start_probs = _one_end_probs(
         model, cfg, start_variables, start_signal, start_lengths
     )
@@ -93,7 +99,8 @@ def classify_step(
     if cfg.dual_model:
         assert end_variables is not None and end_signal is not None
         end_probs = _one_end_probs(
-            model, cfg, end_variables, end_signal, end_lengths
+            end_model if end_model is not None else model,
+            cfg, end_variables, end_signal, end_lengths
         )
         end_call = call_one_end(end_probs, cfg.calling)
         final = reconcile_calls(start_call, end_call, cfg.calling)
@@ -119,18 +126,23 @@ class ClassifyProgram:
         start_variables: dict,
         end_variables: Optional[dict] = None,
         mesh=None,
+        end_model: Optional[DemuxNet] = None,
     ) -> None:
         if cfg.dual_model and end_variables is None:
             raise ValueError("dual_model requires end_variables")
         self.model = model
         self.cfg = cfg
         self.mesh = mesh
+        step = functools.partial(
+            classify_step, model, cfg,
+            end_model=end_model if end_model is not None else model,
+        )
         # No buffer donation: the (B, buffer) input can't alias any output
         # shape, so donation would only generate copies + warnings.
         if mesh is None:
             self.start_variables = start_variables
             self.end_variables = end_variables
-            self._jitted = jax.jit(functools.partial(classify_step, model, cfg))
+            self._jitted = jax.jit(step)
         else:
             # Data-parallel over the mesh: replicated weights, batch sharded
             # on 'data'; jit inserts any collectives. Outputs are replicated
@@ -147,7 +159,7 @@ class ClassifyProgram:
                 (bsh, bsh, bsh, bsh) if cfg.dual_model else (bsh, bsh, None, None)
             )
             self._jitted = jax.jit(
-                functools.partial(classify_step, model, cfg),
+                step,
                 in_shardings=(rep, rep) + data_shardings,
                 out_shardings=rep,
             )

@@ -171,10 +171,18 @@ def prep(args) -> None:
     progress = Progress("reads prepped")
     rows: List[Tuple[int, np.ndarray]] = []
     skipped = 0
+    no_move_files = 0
     for path in files:
+        # One move-table lookup per file (it is a function of the path).
+        # Limitation: the table is read from the root-level Analyses group —
+        # the single-read (albacore-era) layout prep targets; reads in
+        # multi-read fast5s have per-read tables we don't parse yet, and are
+        # counted under "no move table" below rather than silently dropped.
+        move = get_move_table(path)
+        if move is None:
+            no_move_files += 1
         for read_id, signal in iterate_reads_in_fast5(path):
             sequence = sequences.get(read_id)
-            move = get_move_table(path)
             if sequence is None or move is None:
                 skipped += 1
                 continue
@@ -187,7 +195,9 @@ def prep(args) -> None:
             progress.update()
     progress.finish()
     if skipped:
-        log(f"  skipped {skipped} reads (no basecall or no move table)")
+        log(f"  skipped {skipped} reads (no basecall or no move table; "
+            f"{no_move_files} file(s) lacked a root-level move table — "
+            f"multi-read fast5s are not yet supported by prep)")
     if not rows:
         quit_with_error("no training samples extracted")
     data_io.write_samples(args.out, rows)

@@ -146,15 +146,16 @@ def eval_step(
     signals: jnp.ndarray,
     labels: jnp.ndarray,
 ) -> Dict[str, jnp.ndarray]:
+    """Per-example loss/correct vectors — the host masks off padding rows."""
     crops = center_crop(signals, window)
     logits = model.apply(
         {"params": state.params, "batch_stats": state.batch_stats},
         crops[:, :, None],
         train=False,
     )
-    loss = optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
-    accuracy = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
-    return {"loss": loss, "accuracy": accuracy}
+    loss = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+    correct = (jnp.argmax(logits, -1) == labels).astype(jnp.float32)
+    return {"loss": loss, "correct": correct}
 
 
 class Trainer:
@@ -206,15 +207,16 @@ class Trainer:
         for start in range(0, len(labels), batch):
             sig = signals[start : start + batch]
             lab = labels[start : start + batch]
-            pad = (-len(lab)) % dp
+            true = len(lab)
+            pad = (-true) % dp
             if pad:
                 sig = np.concatenate([sig, np.repeat(sig[-1:], pad, 0)])
                 lab = np.concatenate([lab, np.repeat(lab[-1:], pad, 0)])
             metrics = self._eval_step(self.state, jnp.asarray(sig), jnp.asarray(lab))
-            weight = len(lab)
-            totals["loss"] += float(metrics["loss"]) * weight
-            totals["accuracy"] += float(metrics["accuracy"]) * weight
-            count += weight
+            # rows beyond `true` are duplicated padding — excluded exactly
+            totals["loss"] += float(np.asarray(metrics["loss"])[:true].sum())
+            totals["accuracy"] += float(np.asarray(metrics["correct"])[:true].sum())
+            count += true
         return {k: v / max(count, 1) for k, v in totals.items()}
 
     # -- checkpoint / resume ------------------------------------------------
@@ -273,6 +275,7 @@ def train_loop(
         log(f"  resumed from {resume} at epoch {start_epoch}")
 
     best = {"accuracy": -1.0, "loss": float("inf")}
+    best_variables: Optional[dict] = None
     for epoch in range(start_epoch, epochs):
         t0 = time.monotonic()
         epoch_order = rng.permutation(np.repeat(train_idx, aug_factor))
@@ -297,7 +300,14 @@ def train_loop(
             trainer.save_checkpoint(checkpoint_dir, epoch)
         if val["accuracy"] >= best["accuracy"]:
             best = dict(val)
-    return best
+            # Snapshot the weights that achieved this validation score — the
+            # exported model must be the one its metadata describes, not
+            # whatever the final epoch drifted to.
+            if n_val:
+                best_variables = trainer.export_variables()
+    if best_variables is None:
+        best_variables = trainer.export_variables()
+    return best, best_variables
 
 
 TINY_PRESET = NetworkConfig(
@@ -334,14 +344,14 @@ def train_from_args(args) -> None:
     mesh = mesh_lib.make_mesh(data=args.dp if args.dp > 0 else 0)
     log(f"  mesh: {dict(mesh.shape)} over {mesh.devices.size} device(s)")
     trainer = Trainer(cfg, mesh)
-    best = train_loop(
+    best, best_variables = train_loop(
         trainer, signals, labels,
         epochs=cfg.epochs, batch_size=cfg.batch_size,
         test_fraction=cfg.test_fraction, aug_factor=cfg.aug_factor,
         seed=cfg.seed, checkpoint_dir=args.checkpoint_dir, resume=args.resume,
     )
     save_model(
-        args.out, network, trainer.export_variables(),
+        args.out, network, best_variables,
         metadata={"best_val": best, "epochs": cfg.epochs},
     )
     log(f"  saved model to {args.out} (best val acc {best['accuracy']:.3f})")

@@ -88,14 +88,6 @@ def _pore_table() -> np.ndarray:
     return _PORE_TABLE
 
 
-def _kmer_level(kmer: str) -> float:
-    """Pore model: deterministic pseudo-random current level per k-mer."""
-    index = 0
-    for char in kmer.encode():
-        index = index * 4 + _BASE_INDEX[char]
-    return float(_pore_table()[index])
-
-
 def _sequence_levels(seq: str) -> np.ndarray:
     """Vectorised k-mer → level lookup for a whole sequence."""
     codes = np.frombuffer(seq.encode(), np.uint8)

@@ -60,7 +60,7 @@ def build_torch_model(net_cfg, variables):
             quarter = features // 4
             self.b1 = ConvBNRelu(f"{scope}/branch1x1", in_ch, quarter, 1)
             self.b3 = ConvBNRelu(f"{scope}/branch3", in_ch,
-                                 features - 3 * quarter + quarter, 3)
+                                 features - 3 * quarter, 3)
             self.bd = ConvBNRelu(f"{scope}/branch_dilated", in_ch, quarter, 3,
                                  dilation)
             self.bp = ConvBNRelu(f"{scope}/branch_pool", in_ch, quarter, 1)

@@ -164,7 +164,7 @@ def main():
         import jax
         print(f"[train] devices: {jax.devices()}", file=sys.stderr)
         trainer = Trainer(cfg, mesh_lib.make_mesh())
-        best = train_loop(
+        best, best_variables = train_loop(
             trainer, signals, labels, epochs=cfg.epochs,
             batch_size=cfg.batch_size, test_fraction=cfg.test_fraction,
             aug_factor=cfg.aug_factor, seed=cfg.seed,
@@ -172,7 +172,7 @@ def main():
                 tempfile.gettempdir(), f"dbt_train_{args.kit}_{args.end}"
             ),
         )
-        save_model(out, network, trainer.export_variables(), metadata={
+        save_model(out, network, best_variables, metadata={
             "kit": args.kit, "end": args.end, "best_val": best,
             "trained_on": "synthetic-simulator",
             "reads_per_barcode": args.reads_per_barcode,

@@ -82,6 +82,80 @@ def test_import_through_checkpoint_loader(saved_model):
     assert "keras_version" in meta
 
 
+def test_keras2_sequential_without_input_layer(tmp_path):
+    """Keras 2 Sequential configs carry no InputLayer — first layer eats x."""
+    import json
+
+    import h5py
+
+    config = {
+        "class_name": "Sequential",
+        "config": {
+            "name": "seq2",
+            "layers": [
+                {"class_name": "Conv1D", "config": {
+                    "name": "conv1", "batch_input_shape": [None, 16, 1],
+                    "filters": 2, "kernel_size": [3], "strides": [1],
+                    "padding": "same", "dilation_rate": [1],
+                    "activation": "relu", "use_bias": True}},
+                {"class_name": "GlobalAveragePooling1D",
+                 "config": {"name": "gap"}},
+                {"class_name": "Dense", "config": {
+                    "name": "dense", "units": 3, "activation": "softmax",
+                    "use_bias": True}},
+            ],
+        },
+    }
+    path = str(tmp_path / "keras2_seq.h5")
+    with h5py.File(path, "w") as handle:
+        handle.attrs["model_config"] = json.dumps(config)
+        handle.attrs["keras_version"] = "2.1.6"
+        weights = handle.create_group("model_weights")
+        conv = weights.create_group("conv1")
+        conv.create_dataset("conv1/kernel:0", data=np.ones((3, 1, 2), np.float32))
+        conv.create_dataset("conv1/bias:0", data=np.zeros((2,), np.float32))
+        dense = weights.create_group("dense")
+        dense.create_dataset("dense/kernel:0", data=np.ones((2, 3), np.float32))
+        dense.create_dataset("dense/bias:0", data=np.zeros((3,), np.float32))
+
+    imported, variables, config_out, _meta = load_keras_model(path)
+    assert config_out.input_length == 16
+    out = imported.apply(variables, np.ones((2, 16, 1), np.float32))
+    assert np.asarray(out).shape == (2, 3)
+
+
+def test_dual_keras_models_use_their_own_graphs(saved_model, rng, tmp_path):
+    """End-model weights must run through the END model's graph (auto-named
+    layers differ between separately-built models)."""
+    import jax
+
+    from deepbinner_tpu.ops.calling import CallingConfig
+    from deepbinner_tpu.ops.preprocess import PreprocessConfig
+    from deepbinner_tpu.runner.pipeline import ClassifyConfig, ClassifyProgram
+
+    _, start_path = saved_model
+    # a second model built in the same session gets different layer names
+    end_keras = _reference_style_model()
+    end_path = str(tmp_path / "end.h5")
+    end_keras.save(end_path)
+
+    start_model, start_vars, cfg_s, _ = load_keras_model(start_path)
+    end_model, end_vars, cfg_e, _ = load_keras_model(end_path)
+    assert cfg_s == cfg_e
+
+    pre = PreprocessConfig(scan_size=192, window=64, stride=32, trim_scan=128,
+                           trim_window=32, trim_stride=8)
+    program = ClassifyProgram(
+        start_model,
+        ClassifyConfig(pre, CallingConfig(0.0, 0.0), dual_model=True),
+        start_vars, end_vars, end_model=end_model,
+    )
+    sig = np.asarray(rng.normal(450, 50, (2, pre.buffer_size)), np.int16)
+    lens = np.full((2,), pre.buffer_size, np.int32)
+    out = program(sig, lens, sig, lens)  # crashes without the end graph
+    assert np.asarray(out.end_probs).shape == (2, 13)
+
+
 def test_unsupported_layer_is_loud(tmp_path):
     lstm = keras.Sequential([
         keras.layers.Input(shape=(16, 1)),

@@ -123,7 +123,7 @@ def test_train_step_learns(tiny_training_set):
         test_fraction=0.15, aug_factor=4, seed=0,
     )
     trainer = Trainer(cfg)
-    best = train_loop(
+    best, _best_vars = train_loop(
         trainer, signals, labels, epochs=cfg.epochs,
         batch_size=cfg.batch_size, test_fraction=cfg.test_fraction,
         aug_factor=cfg.aug_factor, seed=cfg.seed, log_every=100,
