@@ -140,8 +140,14 @@ class ClassifyProgram:
         # No buffer donation: the (B, buffer) input can't alias any output
         # shape, so donation would only generate copies + warnings.
         if mesh is None:
-            self.start_variables = start_variables
-            self.end_variables = end_variables
+            # Commit weights to the device once.  Passing host arrays would
+            # re-upload all ~77 leaves on every call — measured 126 ms/call
+            # over the TPU tunnel vs 3 ms with device-resident weights.
+            self.start_variables = jax.device_put(start_variables)
+            self.end_variables = (
+                jax.device_put(end_variables) if end_variables is not None
+                else None
+            )
             self._jitted = jax.jit(step)
         else:
             # Data-parallel over the mesh: replicated weights, batch sharded
