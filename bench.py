@@ -1,20 +1,30 @@
 #!/usr/bin/env python
 """Benchmark: reads/sec/chip for barcode classification (BASELINE.json metric).
 
-Prints ONE JSON line:
+Prints ONE JSON line to stdout:
   {"metric": "classify_reads_per_sec_per_chip", "value": N,
    "unit": "reads/s/chip", "vs_baseline": N}
 
-- "value": end-to-end streaming classify throughput (fast5 reading + fused
-  trim/normalise/window/CNN/call on device) on the default JAX platform
-  (the real TPU chip under the driver), flagship full-size DemuxNet.
+- "value": steady-state end-to-end streaming classify throughput (fast5
+  decode in reader worker processes + fused trim/normalise/window/CNN/call
+  on device) on the default JAX platform (the real TPU chip under the
+  driver), flagship full-size DemuxNet.  Methodology: persistent reader
+  pool, one untimed warm pass (page cache + dispatch path), then
+  ``--passes`` timed passes over ``--reads`` (default 4096) reads; the
+  reported value is the mean, per-pass numbers go to stderr so run-to-run
+  variance is visible.
 - "vs_baseline": value ÷ the reference-equivalent CPU pipeline's reads/s.
   The reference itself is unrunnable here (empty mount, no network —
   SURVEY.md §0), so the baseline is the same architecture + pipeline on
   torch-CPU (the reference's compute stack is Keras→TF-CPU), measured on
   this host and cached in BENCH_BASELINE.json.  Target: ≥20×.
 
-Usage: python bench.py [--reads N] [--batch-size B] [--measure-baseline]
+Secondary metrics (BASELINE.json configs 2 and 5) are printed as JSON lines
+to *stderr* in the default run: dual-model (start+end) throughput and
+realtime small-batch latency.  ``--no-extras`` skips them.
+
+Usage: python bench.py [--reads N] [--batch-size B] [--passes P]
+                       [--pallas] [--measure-baseline] [--no-extras]
 """
 
 from __future__ import annotations
@@ -28,10 +38,13 @@ import time
 BENCH_DIR = "/tmp/deepbinner_tpu_bench"
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_BASELINE.json")
-MODEL_FILE = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)),
-    "deepbinner_tpu", "models", "data", "EXP-NBD103_read_starts.dbt",
+MODEL_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "deepbinner_tpu", "models", "data",
 )
+MODEL_FILE = os.path.join(MODEL_DIR, "EXP-NBD103_read_starts.dbt")
+END_MODEL_FILE = os.path.join(MODEL_DIR, "EXP-NBD103_read_ends.dbt")
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/deepbinner_tpu_jax_cache")
 
 
 def ensure_dataset(n_reads: int, seed: int = 1234, genome_length: int = 3000) -> str:
@@ -51,49 +64,67 @@ def ensure_dataset(n_reads: int, seed: int = 1234, genome_length: int = 3000) ->
     return os.path.join(path, "fast5s")
 
 
-def load_flagship():
+def load_flagship(path: str = MODEL_FILE):
     import jax
 
     from deepbinner_tpu.models.checkpoint import load_model
     from deepbinner_tpu.models.network import NetworkConfig, init_params
 
-    if os.path.exists(MODEL_FILE):
-        model, variables, net_cfg, _meta = load_model(MODEL_FILE)
+    if os.path.exists(path):
+        model, variables, net_cfg, _meta = load_model(path)
         return model, variables, net_cfg
     net_cfg = NetworkConfig()
     model, variables = init_params(jax.random.PRNGKey(0), net_cfg)
     return model, variables, net_cfg
 
 
-def measure_tpu(fast5_dir: str, batch_size: int, num_readers: int,
-                use_pallas: bool = False, native_reader: bool = False,
-                reader_processes: int = 0) -> dict:
-    import jax
-
+def _build_program(use_pallas: bool, dual: bool):
     from deepbinner_tpu.ops.calling import CallingConfig
     from deepbinner_tpu.ops.preprocess import PreprocessConfig
-    from deepbinner_tpu.runner.executor import ExecutorStats, classify_files
     from deepbinner_tpu.runner.pipeline import ClassifyConfig, ClassifyProgram
-    from deepbinner_tpu.utils.fast5 import find_all_fast5s
 
-    model, variables, net_cfg = load_flagship()
+    model, variables, _net = load_flagship()
+    end_vars = None
+    if dual:
+        _end_model, end_vars, _cfg = load_flagship(END_MODEL_FILE)
     cfg = ClassifyConfig(
         preprocess=PreprocessConfig(),  # flagship geometry: 6144/1024/512
         calling=CallingConfig(),
-        dual_model=False,
+        dual_model=dual,
         use_pallas=use_pallas,
     )
-    program = ClassifyProgram(model, cfg, variables)
+    return ClassifyProgram(model, cfg, variables, end_vars), cfg
+
+
+def measure_tpu(fast5_dir: str, batch_size: int, reader_workers: int,
+                use_pallas: bool = False, native_reader: bool = True,
+                passes: int = 2, dual: bool = False) -> dict:
+    """Steady-state end-to-end throughput: warm pass + `passes` timed passes.
+
+    File decode runs in worker *processes* (runner.mp_reader.ReaderPool):
+    in-process readers (threads) sharing the process with the live TPU
+    client stall for minutes on first use (round-1 VERDICT root cause), and
+    a long-lived pool also amortises spawn cost the way a real pipeline
+    service would.  Workers pre-trim signals to the slices classify
+    consumes (bit-identical batches — tested) to cut queue bytes ~4x.
+    """
+    import jax
+
+    from deepbinner_tpu.runner.executor import (
+        BatchSpec,
+        ExecutorStats,
+        classify_batches,
+    )
+    from deepbinner_tpu.runner.mp_reader import ReaderPool
+    from deepbinner_tpu.utils.fast5 import find_all_fast5s
+
     files = find_all_fast5s(os.path.dirname(fast5_dir))
 
-    read_fn = None
     if native_reader:
         from deepbinner_tpu.native import fast5_reader
 
         if not fast5_reader.available():
-            # g++ + libhdf5 are in the image; build on first use.  The native
-            # reader reads off the GIL — h5py's GIL churn against the device
-            # dispatch threads collapses throughput ~30x (measured).
+            # g++ + libhdf5 are in the image; build on first use.
             try:
                 from deepbinner_tpu.native.build import build
 
@@ -101,40 +132,52 @@ def measure_tpu(fast5_dir: str, batch_size: int, num_readers: int,
                 fast5_reader._load_failed = False
             except Exception as error:  # noqa: BLE001 — bench must not die
                 print(f"[bench] native reader build failed ({error}); "
-                      f"using h5py", file=sys.stderr)
-        if fast5_reader.available():
-            read_fn = fast5_reader.read_file
+                      f"workers will use h5py", file=sys.stderr)
 
     t0 = time.monotonic()
-    program.warm_up(batch_size)
-    compile_s = time.monotonic() - t0
+    program, cfg = _build_program(use_pallas, dual)
+    setup_s = time.monotonic() - t0
+    spec = BatchSpec(batch_size=batch_size,
+                     buffer_size=cfg.preprocess.buffer_size, dual=dual)
 
-    # Warm the file cache + one timed measurement pass.
-    stats = ExecutorStats()
-    t0 = time.monotonic()
-    n = 0
-    if reader_processes > 0:
-        from deepbinner_tpu.runner.executor import classify_stream
-        from deepbinner_tpu.runner.mp_reader import iter_signals_mp
+    print(f"[bench] program built ({setup_s:.1f}s); compiling + first-D2H "
+          f"handshake …", file=sys.stderr, flush=True)
+    with ReaderPool(
+        num_workers=reader_workers, use_native=native_reader, batch_spec=spec,
+    ) as pool:
+        t0 = time.monotonic()
+        program.warm_up(batch_size)
+        compile_s = time.monotonic() - t0
+        print(f"[bench] warm ({compile_s:.1f}s); streaming …",
+              file=sys.stderr, flush=True)
 
-        results = classify_stream(
-            program,
-            iter_signals_mp(files, num_workers=reader_processes, stats=stats),
-            batch_size=batch_size, stats=stats,
-        )
-    else:
-        kwargs = {"read_fn": read_fn} if read_fn else {}
-        results = classify_files(
-            program, files, batch_size=batch_size, num_readers=num_readers,
-            stats=stats, **kwargs,
-        )
-    for _result in results:
-        n += 1
-    elapsed = time.monotonic() - t0
+        # Untimed warm pass: fills the page cache, exercises the dispatch
+        # path end to end, and settles allocators on both sides.
+        warm_stats = ExecutorStats()
+        t0 = time.monotonic()
+        for _ in classify_batches(program, pool.iter_batches(files, warm_stats),
+                                  stats=warm_stats):
+            pass
+        warm_s = time.monotonic() - t0
+
+        per_pass = []
+        n = 0
+        for _ in range(max(1, passes)):
+            stats = ExecutorStats()
+            t0 = time.monotonic()
+            n = 0
+            for _result in classify_batches(
+                program, pool.iter_batches(files, stats), stats=stats,
+            ):
+                n += 1
+            per_pass.append(n / (time.monotonic() - t0))
+
     return {
         "reads": n,
-        "reads_per_s": n / elapsed,
-        "elapsed_s": elapsed,
+        "reads_per_s": sum(per_pass) / len(per_pass),
+        "per_pass_reads_per_s": [round(v, 1) for v in per_pass],
+        "warm_pass_s": round(warm_s, 2),
+        "setup_s": round(setup_s, 2),
         "compile_s": compile_s,
         "platform": jax.devices()[0].platform,
         "device": str(jax.devices()[0]),
@@ -150,14 +193,9 @@ def measure_latency(batch_size: int = 16, trials: int = 20) -> dict:
     """
     import numpy as np
 
-    from deepbinner_tpu.ops.calling import CallingConfig
-    from deepbinner_tpu.ops.preprocess import PreprocessConfig
     from deepbinner_tpu.runner.executor import build_batch
-    from deepbinner_tpu.runner.pipeline import ClassifyConfig, ClassifyProgram
 
-    model, variables, _net = load_flagship()
-    cfg = ClassifyConfig(PreprocessConfig(), CallingConfig(), False)
-    program = ClassifyProgram(model, cfg, variables)
+    program, cfg = _build_program(False, False)
     program.warm_up(batch_size)
 
     rng = np.random.default_rng(0)
@@ -171,8 +209,8 @@ def measure_latency(batch_size: int = 16, trials: int = 20) -> dict:
         _ids, sig, lens, _e, _el = build_batch(
             reads, cfg.preprocess, batch_size, False
         )
-        out = program(sig, lens)
-        np.asarray(out.calls)  # host-visible
+        out = program.call_packed(sig, lens)
+        np.asarray(out)  # host-visible
         latencies.append(time.monotonic() - t0)
     latencies.sort()
     return {
@@ -225,20 +263,25 @@ def get_baseline(args) -> dict:
 
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--reads", type=int, default=768)
-    parser.add_argument("--batch-size", type=int, default=256)
-    parser.add_argument("--num-readers", type=int, default=8)
+    parser.add_argument("--reads", type=int, default=4096)
+    parser.add_argument("--batch-size", type=int, default=512)
+    parser.add_argument("--passes", type=int, default=2,
+                        help="timed measurement passes (mean is reported)")
+    parser.add_argument("--reader-processes", type=int, default=2,
+                        help="fast5 decode worker processes")
     parser.add_argument("--measure-baseline", action="store_true")
     parser.add_argument("--pallas", action="store_true",
                         help="run the CNN through the fused Pallas kernels")
     parser.add_argument("--no-native-reader", action="store_true",
-                        help="force the h5py reader (native is the default; "
-                             "it is built on first use)")
-    parser.add_argument("--reader-processes", type=int, default=0,
-                        help="reader worker processes (0 = in-process)")
+                        help="force h5py decode inside the reader workers")
+    parser.add_argument("--dual", action="store_true",
+                        help="measure dual-model (start+end) throughput as "
+                             "the primary metric")
     parser.add_argument("--latency", action="store_true",
                         help="measure realtime per-batch latency instead of "
                              "throughput")
+    parser.add_argument("--no-extras", action="store_true",
+                        help="skip the secondary dual/latency stderr metrics")
     args = parser.parse_args()
 
     if args.latency:
@@ -252,28 +295,68 @@ def main() -> None:
         print(f"[bench] latency {result}", file=sys.stderr)
         return
 
+    # Stage progress to stderr: the axon tunnel's chip claim and first-D2H
+    # handshake can each take minutes — make a hang diagnosable.
+    print(f"[bench] start {time.strftime('%H:%M:%S')}", file=sys.stderr, flush=True)
     baseline = get_baseline(args)
     fast5_dir = ensure_dataset(args.reads)
-    result = measure_tpu(fast5_dir, args.batch_size, args.num_readers,
+    print("[bench] dataset+baseline ready; claiming device …",
+          file=sys.stderr, flush=True)
+    result = measure_tpu(fast5_dir, args.batch_size, args.reader_processes,
                          use_pallas=args.pallas,
                          native_reader=not args.no_native_reader,
-                         reader_processes=args.reader_processes)
+                         passes=args.passes, dual=args.dual)
 
     value = result["reads_per_s"]
     vs = value / baseline["reads_per_s"] if baseline.get("reads_per_s") else None
+    metric = ("classify_dual_reads_per_sec_per_chip" if args.dual
+              else "classify_reads_per_sec_per_chip")
     print(json.dumps({
-        "metric": "classify_reads_per_sec_per_chip",
+        "metric": metric,
         "value": round(value, 2),
         "unit": "reads/s/chip",
         "vs_baseline": round(vs, 2) if vs else None,
     }))
+    sys.stdout.flush()
     # Details to stderr for humans; the JSON line above is the contract.
     print(
-        f"[bench] {result['reads']} reads in {result['elapsed_s']:.2f}s on "
-        f"{result['device']} (compile {result['compile_s']:.1f}s); baseline "
-        f"{baseline['reads_per_s']:.2f} reads/s ({baseline.get('kind', 'cached')})",
+        f"[bench] {result['reads']} reads/pass, per-pass "
+        f"{result['per_pass_reads_per_s']} reads/s on {result['device']} "
+        f"(setup {result['setup_s']}s, compile+first-D2H "
+        f"{result['compile_s']:.1f}s, "
+        f"warm pass {result['warm_pass_s']}s); "
+        f"baseline {baseline['reads_per_s']:.2f} "
+        f"reads/s ({baseline.get('kind', 'cached')})",
         file=sys.stderr,
     )
+
+    if args.no_extras or args.dual:
+        return
+    # Secondary contract numbers (BASELINE.json configs 2 and 5), best-effort.
+    try:
+        dual = measure_tpu(fast5_dir, args.batch_size, args.reader_processes,
+                           use_pallas=args.pallas,
+                           native_reader=not args.no_native_reader,
+                           passes=1, dual=True)
+        dvs = dual["reads_per_s"] / baseline["reads_per_s"]
+        print(json.dumps({
+            "metric": "classify_dual_reads_per_sec_per_chip",
+            "value": round(dual["reads_per_s"], 2),
+            "unit": "reads/s/chip",
+            "vs_baseline": round(dvs, 2),
+        }), file=sys.stderr)
+    except Exception as error:  # noqa: BLE001
+        print(f"[bench] dual-model extra failed: {error}", file=sys.stderr)
+    try:
+        lat = measure_latency(trials=10)
+        print(json.dumps({
+            "metric": "realtime_batch_latency_p50",
+            "value": lat["p50_ms"],
+            "unit": "ms",
+            "vs_baseline": None,
+        }), file=sys.stderr)
+    except Exception as error:  # noqa: BLE001
+        print(f"[bench] latency extra failed: {error}", file=sys.stderr)
 
 
 if __name__ == "__main__":

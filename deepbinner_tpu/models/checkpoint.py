@@ -25,7 +25,11 @@ import jax.numpy as jnp
 import numpy as np
 from flax import serialization
 
-from deepbinner_tpu.models.network import DemuxNet, NetworkConfig, init_params
+from deepbinner_tpu.models.network import (
+    DemuxNet,
+    NetworkConfig,
+    abstract_variables,
+)
 
 FORMAT_VERSION = 1
 _HDF5_MAGIC = b"\x89HDF\r\n\x1a\n"
@@ -88,8 +92,9 @@ def load_model(
             archive.read("config.json").decode()
         )
         raw = archive.read("params.msgpack")
-    import jax
-
-    model, template = init_params(jax.random.PRNGKey(0), config)
+    # Template via eval_shape, NOT init_params: a real init executes the
+    # network on the device (≈60 s remote compile on the axon tunnel) just
+    # to learn the pytree structure.
+    model, template = abstract_variables(config)
     variables = serialization.from_bytes(template, raw)
     return model, variables, config, metadata

@@ -153,6 +153,30 @@ def init_params(
     return model, variables
 
 
+def abstract_variables(config: NetworkConfig | None = None) -> Tuple["DemuxNet", dict]:
+    """Variables *template* (numpy zeros) without touching any device.
+
+    ``model.init`` executes the whole network — on the axon-tunnelled TPU
+    that is a ~60 s remote compile+run just to learn the pytree structure.
+    ``jax.eval_shape`` traces the same init abstractly in milliseconds; the
+    zero-filled numpy leaves are a valid ``flax.serialization.from_bytes``
+    target.
+    """
+    config = config or NetworkConfig()
+    model = DemuxNet(config)
+    dummy = jax.ShapeDtypeStruct((1, config.input_length, 1), jnp.float32)
+    shapes = jax.eval_shape(
+        lambda d: model.init({"params": jax.random.PRNGKey(0)}, d, train=False),
+        dummy,
+    )
+    import numpy as np
+
+    template = jax.tree_util.tree_map(
+        lambda s: np.zeros(s.shape, s.dtype), shapes
+    )
+    return model, template
+
+
 def apply_inference(
     model: DemuxNet, variables: dict, windows: jnp.ndarray
 ) -> jnp.ndarray:

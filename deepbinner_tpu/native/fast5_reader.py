@@ -91,8 +91,10 @@ def read_file(path: str) -> List[Tuple[str, np.ndarray]]:
         reads: List[Tuple[str, np.ndarray]] = []
         for i in range(count.value):
             entry = out[i]
+            # as_array views the C buffer as int16 already; one copy takes
+            # ownership (a redundant astype here would copy a second time).
             signal = np.ctypeslib.as_array(entry.signal, (entry.length,)).copy()
-            reads.append((entry.read_id.decode(), signal.astype(np.int16)))
+            reads.append((entry.read_id.decode(), signal))
         return reads
     finally:
         lib.db_free_reads(out, count)

@@ -27,6 +27,12 @@ from typing import Callable, Iterable, Iterator, List, Optional, Sequence, Tuple
 import numpy as np
 
 from deepbinner_tpu.ops.preprocess import PreprocessConfig
+from deepbinner_tpu.runner.hostbatch import (  # noqa: F401 — re-exported API
+    BatchSpec,
+    BuiltBatch,
+    ExecutorStats,
+    build_batch_arrays,
+)
 from deepbinner_tpu.runner.pipeline import CallTable, ClassifyProgram
 from deepbinner_tpu.utils import fast5 as fast5_io
 
@@ -41,13 +47,6 @@ class ReadResult:
     end_call: int
     start_probs: np.ndarray   # (C,)
     end_probs: np.ndarray     # (C,)
-
-
-@dataclasses.dataclass
-class ExecutorStats:
-    reads: int = 0
-    batches: int = 0
-    failed_files: int = 0
 
 
 _SENTINEL = object()
@@ -128,35 +127,59 @@ def build_batch(
     cfg: PreprocessConfig,
     batch_size: int,
     dual: bool,
-) -> Tuple[List[str], np.ndarray, np.ndarray, Optional[np.ndarray], Optional[np.ndarray]]:
-    """Pad reads into fixed-shape buffers.
+) -> BuiltBatch:
+    """Pad reads into fixed-shape buffers (see hostbatch.build_batch_arrays)."""
+    return build_batch_arrays(
+        reads, BatchSpec(batch_size=batch_size, buffer_size=cfg.buffer_size,
+                         dual=dual)
+    )
 
-    start buffer: first ``buffer_size`` samples of each read.
-    end buffer:   last ``buffer_size`` samples **reversed**, so open-pore
-    trimming runs identically for both ends (see preprocess.extract_scan_region).
-    Rows beyond ``len(reads)`` are zero-length padding → "none" on device,
-    dropped by the caller.
+
+def classify_batches(
+    program: ClassifyProgram,
+    batches: Iterable[BuiltBatch],
+    stats: Optional[ExecutorStats] = None,
+    in_flight: int = 2,
+) -> Iterator[ReadResult]:
+    """Classify pre-built fixed-shape batches; yields ReadResults.
+
+    Keeps up to `in_flight` device batches enqueued (JAX async dispatch) so
+    batch arrival and device compute overlap.  This is the hot path when
+    reader worker processes build the batches themselves
+    (mp_reader.ReaderPool.iter_batches) — the consumer process does nothing
+    per read, only one dispatch + one result drain per batch.
     """
-    buffer = cfg.buffer_size
-    ids: List[str] = []
-    # int16 end-to-end on the host: raw DAC values are int16 natively and the
-    # device casts to f32 in-graph — this halves host→device transfer bytes
-    # (measured ~60 MB/s on the tunnel; the batch is the dominant payload).
-    start = np.zeros((batch_size, buffer), np.int16)
-    start_len = np.zeros((batch_size,), np.int32)
-    end = np.zeros((batch_size, buffer), np.int16) if dual else None
-    end_len = np.zeros((batch_size,), np.int32) if dual else None
+    import collections
 
-    for i, (read_id, signal) in enumerate(reads):
-        ids.append(read_id)
-        n = min(signal.size, buffer)
-        start[i, :n] = signal[:n]
-        start_len[i] = n
-        if dual:
-            tail = signal[-n:] if signal.size else signal
-            end[i, :n] = tail[::-1]
-            end_len[i] = n
-    return ids, start, start_len, end, end_len
+    from deepbinner_tpu.runner.pipeline import unpack_call_table
+
+    stats = stats or ExecutorStats()
+    dual = program.cfg.dual_model
+    pending: "collections.deque[Tuple[List[str], object]]" = collections.deque()
+
+    def drain_one() -> Iterator[ReadResult]:
+        ids, packed = pending.popleft()
+        out = unpack_call_table(packed)  # ONE device→host transfer per batch
+        for i, read_id in enumerate(ids):
+            stats.reads += 1
+            yield ReadResult(
+                read_id=read_id,
+                call=int(out.calls[i]),
+                start_call=int(out.start_calls[i]),
+                end_call=int(out.end_calls[i]),
+                start_probs=out.start_probs[i],
+                end_probs=out.end_probs[i],
+            )
+
+    for ids, s, sl, e, el in batches:
+        packed = (program.call_packed(s, sl, e, el) if dual
+                  else program.call_packed(s, sl))
+        pending.append((ids, packed))
+        stats.batches += 1
+        if len(pending) >= in_flight:
+            yield from drain_one()
+    while pending:
+        yield from drain_one()
 
 
 def classify_stream(
@@ -168,52 +191,24 @@ def classify_stream(
 ) -> Iterator[ReadResult]:
     """Classify a stream of (read_id, signal); yields ReadResults.
 
-    Keeps up to `in_flight` device batches enqueued (JAX async dispatch) so
-    host batch assembly and device compute overlap.
+    Batches are assembled here on the consumer; prefer classify_batches +
+    worker-side assembly for TPU-backed streaming throughput.
     """
-    import collections
-
-    stats = stats or ExecutorStats()
     cfg = program.cfg.preprocess
     dual = program.cfg.dual_model
-    pending: "collections.deque[Tuple[List[str], CallTable]]" = collections.deque()
 
-    def submit(batch_reads: Sequence[Tuple[str, np.ndarray]]) -> None:
-        ids, s, sl, e, el = build_batch(batch_reads, cfg, batch_size, dual)
-        out = program(s, sl, e, el) if dual else program(s, sl)
-        pending.append((ids, out))
-        stats.batches += 1
+    def batch_iter() -> Iterator[BuiltBatch]:
+        buffered: List[Tuple[str, np.ndarray]] = []
+        for item in signals:
+            buffered.append(item)
+            if len(buffered) == batch_size:
+                yield build_batch(buffered, cfg, batch_size, dual)
+                buffered = []
+        if buffered:
+            yield build_batch(buffered, cfg, batch_size, dual)
 
-    def drain_one() -> Iterator[ReadResult]:
-        ids, out = pending.popleft()
-        calls = np.asarray(out.calls)
-        start_calls = np.asarray(out.start_calls)
-        end_calls = np.asarray(out.end_calls)
-        start_probs = np.asarray(out.start_probs)
-        end_probs = np.asarray(out.end_probs)
-        for i, read_id in enumerate(ids):
-            stats.reads += 1
-            yield ReadResult(
-                read_id=read_id,
-                call=int(calls[i]),
-                start_call=int(start_calls[i]),
-                end_call=int(end_calls[i]),
-                start_probs=start_probs[i],
-                end_probs=end_probs[i],
-            )
-
-    buffered: List[Tuple[str, np.ndarray]] = []
-    for item in signals:
-        buffered.append(item)
-        if len(buffered) == batch_size:
-            submit(buffered)
-            buffered = []
-            if len(pending) >= in_flight:
-                yield from drain_one()
-    if buffered:
-        submit(buffered)
-    while pending:
-        yield from drain_one()
+    yield from classify_batches(program, batch_iter(), stats=stats,
+                                in_flight=in_flight)
 
 
 def classify_files(

@@ -112,6 +112,40 @@ def classify_step(
     return CallTable(final, start_call, end_call, start_probs, end_probs)
 
 
+def pack_call_table(table: CallTable) -> jnp.ndarray:
+    """Flatten a CallTable into ONE (B, 3 + 2C) f32 array.
+
+    The axon tunnel pays a round trip per device→host transfer; fetching
+    the five CallTable fields separately costs 5 RTTs per batch.  Calls are
+    small ints (≤ NUM_CLASSES), exactly representable in f32.
+    """
+    return jnp.concatenate(
+        [
+            table.calls[:, None].astype(jnp.float32),
+            table.start_calls[:, None].astype(jnp.float32),
+            table.end_calls[:, None].astype(jnp.float32),
+            table.start_probs,
+            table.end_probs,
+        ],
+        axis=1,
+    )
+
+
+def unpack_call_table(packed) -> CallTable:
+    """Host-side inverse of pack_call_table (numpy in, numpy out)."""
+    import numpy as np
+
+    packed = np.asarray(packed)
+    classes = (packed.shape[1] - 3) // 2
+    return CallTable(
+        calls=packed[:, 0].astype(np.int32),
+        start_calls=packed[:, 1].astype(np.int32),
+        end_calls=packed[:, 2].astype(np.int32),
+        start_probs=packed[:, 3 : 3 + classes],
+        end_probs=packed[:, 3 + classes :],
+    )
+
+
 class ClassifyProgram:
     """A compiled classify step bound to a model architecture + config.
 
@@ -137,6 +171,7 @@ class ClassifyProgram:
             classify_step, model, cfg,
             end_model=end_model if end_model is not None else model,
         )
+        packed_step = lambda *args: pack_call_table(step(*args))  # noqa: E731
         # No buffer donation: the (B, buffer) input can't alias any output
         # shape, so donation would only generate copies + warnings.
         if mesh is None:
@@ -149,6 +184,7 @@ class ClassifyProgram:
                 else None
             )
             self._jitted = jax.jit(step)
+            self._jitted_packed = jax.jit(packed_step)
         else:
             # Data-parallel over the mesh: replicated weights, batch sharded
             # on 'data'; jit inserts any collectives. Outputs are replicated
@@ -159,7 +195,8 @@ class ClassifyProgram:
             bsh = mesh_lib.batch_sharding(mesh)
             self.start_variables = jax.device_put(start_variables, rep)
             self.end_variables = (
-                jax.device_put(end_variables, rep) if end_variables else None
+                jax.device_put(end_variables, rep) if end_variables is not None
+                else None
             )
             data_shardings = (
                 (bsh, bsh, bsh, bsh) if cfg.dual_model else (bsh, bsh, None, None)
@@ -169,6 +206,21 @@ class ClassifyProgram:
                 in_shardings=(rep, rep) + data_shardings,
                 out_shardings=rep,
             )
+            self._jitted_packed = jax.jit(
+                packed_step,
+                in_shardings=(rep, rep) + data_shardings,
+                out_shardings=rep,
+            )
+
+    def _args(self, start_signal, start_lengths, end_signal, end_lengths):
+        return (
+            self.start_variables,
+            self.end_variables,
+            jnp.asarray(start_signal),
+            jnp.asarray(start_lengths),
+            None if end_signal is None else jnp.asarray(end_signal),
+            None if end_lengths is None else jnp.asarray(end_lengths),
+        )
 
     def __call__(
         self,
@@ -178,21 +230,38 @@ class ClassifyProgram:
         end_lengths=None,
     ) -> CallTable:
         return self._jitted(
-            self.start_variables,
-            self.end_variables,
-            jnp.asarray(start_signal),
-            jnp.asarray(start_lengths),
-            None if end_signal is None else jnp.asarray(end_signal),
-            None if end_lengths is None else jnp.asarray(end_lengths),
+            *self._args(start_signal, start_lengths, end_signal, end_lengths)
+        )
+
+    def call_packed(
+        self,
+        start_signal,
+        start_lengths,
+        end_signal=None,
+        end_lengths=None,
+    ) -> jnp.ndarray:
+        """CallTable packed into one (B, 3+2C) f32 array — ONE device→host
+        transfer per batch instead of five (the tunnel charges per RTT).
+        The streaming executor unpacks with :func:`unpack_call_table`."""
+        return self._jitted_packed(
+            *self._args(start_signal, start_lengths, end_signal, end_lengths)
         )
 
     def warm_up(self, batch_size: int) -> None:
-        """Compile ahead of time for a batch size (realtime latency budget)."""
+        """Compile ahead of time for a batch size (realtime latency budget).
+
+        Also forces one device→host copy: on the axon-tunnelled TPU the
+        FIRST D2H transfer of a process pays a pathological handshake
+        (measured 84-373 s; H2D is always fast).  Paying it here keeps the
+        first real batch — and every streaming pass — at steady-state speed.
+        """
+        import numpy as np
+
         buf = self.cfg.preprocess.buffer_size
         sig = jnp.zeros((batch_size, buf), jnp.int16)
         lengths = jnp.full((batch_size,), buf, jnp.int32)
         if self.cfg.dual_model:
-            out = self(sig, lengths, sig, lengths)
+            out = self.call_packed(sig, lengths, sig, lengths)
         else:
-            out = self(sig, lengths)
-        jax.block_until_ready(out.calls)
+            out = self.call_packed(sig, lengths)
+        np.asarray(out)  # blocks on compile + the first-D2H handshake

@@ -59,6 +59,68 @@ def approximate_find(haystack: str, needle: str, max_mismatch: int) -> int:
     return best
 
 
+def _semi_global_end_scores(
+    hay: np.ndarray, ndl: np.ndarray, anchored_start: bool = False
+) -> np.ndarray:
+    """Edit distances of the best `ndl` alignment ending at each hay position.
+
+    Semi-global (infix) Levenshtein DP: the needle must align end-to-end,
+    the haystack end is free.  Returns ``ends`` of shape (n+1,) where
+    ``ends[j]`` is the minimum edit distance of the needle against a
+    haystack substring ending at position j — starting anywhere when
+    ``anchored_start`` is False, or exactly at position 0 (i.e. against the
+    full prefix ``hay[:j]``) when True.
+
+    The row recurrence's left-to-right gap term is closed with a prefix-min
+    identity (``min_k f[k] + (j-k)`` = running-min of ``f - j`` plus ``j``),
+    so each needle row is one vectorised numpy pass — no per-cell Python.
+    """
+    n = hay.size
+    js = np.arange(n + 1, dtype=np.int32)
+    prev = js.copy() if anchored_start else np.zeros(n + 1, np.int32)
+    for i in range(1, ndl.size + 1):
+        sub = prev[:-1] + (hay != ndl[i - 1]).astype(np.int32)
+        up = prev[1:] + 1
+        f = np.empty(n + 1, np.int32)
+        f[0] = i  # needle prefix vs empty haystack
+        f[1:] = np.minimum(sub, up)
+        prev = np.minimum.accumulate(f - js) + js
+    return prev
+
+
+def edit_distance_find(
+    haystack: str, needle: str, max_edits: int
+) -> Optional[Tuple[int, int, int]]:
+    """Best indel-tolerant occurrence of `needle` in `haystack`.
+
+    Returns ``(start, end, edits)`` of the lowest-edit-distance alignment
+    (semi-global Levenshtein), or None if every alignment needs more than
+    ``max_edits``.  This is what survives real nanopore basecalls (5-15%
+    indel error) where a fixed-width Hamming scan finds nothing — the
+    reference gets the same tolerance from Porechop/edlib alignment
+    (deepbinner/prep.py :: prep, SURVEY.md §2 item 5).
+    """
+    n, m = len(haystack), len(needle)
+    if m == 0 or n == 0:
+        return None
+    hay = np.frombuffer(haystack.encode(), dtype=np.uint8)
+    ndl = np.frombuffer(needle.encode(), dtype=np.uint8)
+    ends = _semi_global_end_scores(hay, ndl)
+    end = int(np.argmin(ends))
+    edits = int(ends[end])
+    if edits > max_edits:
+        return None
+    # Locate the match start: align the reversed needle against the reversed
+    # haystack prefix with the start anchored at `end` (prefix alignment),
+    # so r_ends[k] = distance(needle, hay[end-k:end]).  Among equally-scoring
+    # starts prefer the match length closest to the needle length.
+    r_ends = _semi_global_end_scores(hay[:end][::-1], ndl[::-1],
+                                     anchored_start=True)
+    candidates = np.flatnonzero(r_ends == edits)
+    length = int(candidates[np.argmin(np.abs(candidates - m))])
+    return end - length, end, edits
+
+
 def base_range_to_signal_range(
     first_sample: int, dwells: np.ndarray, base_start: int, base_end: int
 ) -> Tuple[int, int]:
@@ -97,10 +159,17 @@ def extract_training_samples(
     end: str,
     signal_size: int,
     margin: int,
-    max_mismatch: int = 3,
+    max_edits: int = 5,
     search_bases: int = 400,
 ) -> List[Tuple[int, np.ndarray]]:
-    """All training rows derivable from one read (barcode row + none row)."""
+    """All training rows derivable from one read (barcode row + none row).
+
+    Barcode localisation is indel-tolerant (semi-global edit distance, see
+    :func:`edit_distance_find`): real nanopore basecalls carry 5-15% indel
+    error, which a fixed-width Hamming scan cannot survive.  All kit
+    barcodes are scored and the lowest-edit match wins, like the
+    reference's best-alignment selection (deepbinner/prep.py :: prep).
+    """
     first_sample, dwells = move
     barcodes = barcode_sequences(kit)
     samples: List[Tuple[int, np.ndarray]] = []
@@ -114,17 +183,16 @@ def extract_training_samples(
         offset = max(0, len(sequence) - search_bases)
         search_region = sequence[offset:]
 
-    best: Tuple[int, int] | None = None  # (barcode_index, position)
+    best: Tuple[int, int, int, int] | None = None  # (edits, index, start, end)
     for index, barcode in enumerate(barcodes, start=1):
         probe = reverse_complement(barcode) if end == "end" else barcode
-        pos = approximate_find(search_region, probe, max_mismatch)
-        if pos >= 0:
-            best = (index, offset + pos)
-            break  # synthetic barcodes are distinct; first hit is the hit
+        hit = edit_distance_find(search_region, probe, max_edits)
+        if hit is not None and (best is None or hit[2] < best[0]):
+            best = (hit[2], index, offset + hit[0], offset + hit[1])
     if best is not None:
-        index, base_pos = best
+        _edits, index, base_start, base_end = best
         sig_start, sig_end = base_range_to_signal_range(
-            first_sample, dwells, base_pos, base_pos + 24
+            first_sample, dwells, base_start, base_end
         )
         cut = _cut_sample(signal, sig_start, sig_end, signal_size, margin)
         if cut is not None:

@@ -110,11 +110,20 @@ def train_step(
     state: TrainState,
     signals: jnp.ndarray,
     labels: jnp.ndarray,
+    weights: jnp.ndarray,
     rng: jax.Array,
 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    """One optimiser step; `weights` (0/1 per row) masks padding rows.
+
+    The final batch of an epoch is padded to the compiled batch shape with
+    repeated real samples at weight 0 (one jit shape, no recompiles), so no
+    sample is ever dropped — the reference's `model.fit` sees every sample
+    too (deepbinner/train_network.py :: train).
+    """
     step_rng = jax.random.fold_in(rng, state.step)
     crop_rng, noise_rng, dropout_rng = jax.random.split(step_rng, 3)
     crops = augment_crop(signals, window, crop_rng)
+    denom = jnp.maximum(weights.sum(), 1.0)
 
     def loss_fn(params):
         logits, updates = model.apply(
@@ -124,9 +133,10 @@ def train_step(
             rngs={"noise": noise_rng, "dropout": dropout_rng},
             mutable=["batch_stats"],
         )
-        loss = optax.softmax_cross_entropy_with_integer_labels(
+        per_example = optax.softmax_cross_entropy_with_integer_labels(
             logits, labels
-        ).mean()
+        )
+        loss = (per_example * weights).sum() / denom
         return loss, (updates["batch_stats"], logits)
 
     (loss, (batch_stats, logits)), grads = jax.value_and_grad(
@@ -134,7 +144,8 @@ def train_step(
     )(state.params)
     updates, opt_state = tx.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
-    accuracy = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
+    correct = (jnp.argmax(logits, -1) == labels).astype(jnp.float32)
+    accuracy = (correct * weights).sum() / denom
     new_state = TrainState(params, batch_stats, opt_state, state.step + 1)
     return new_state, {"loss": loss, "accuracy": accuracy}
 
@@ -176,10 +187,10 @@ class Trainer:
         self.state = jax.device_put(state, replicated)
         window = cfg.network.input_length
         self._train_step = jax.jit(
-            lambda state, sig, lab, rng: train_step(
-                self.model, self.tx, window, state, sig, lab, rng
+            lambda state, sig, lab, wts, rng: train_step(
+                self.model, self.tx, window, state, sig, lab, wts, rng
             ),
-            in_shardings=(replicated, batch_sh, batch_sh, replicated),
+            in_shardings=(replicated, batch_sh, batch_sh, batch_sh, replicated),
             out_shardings=replicated,
             donate_argnums=(0,),
         )
@@ -194,9 +205,13 @@ class Trainer:
     def data_parallelism(self) -> int:
         return self.mesh.shape["data"]
 
-    def run_train_step(self, signals: np.ndarray, labels: np.ndarray):
+    def run_train_step(self, signals: np.ndarray, labels: np.ndarray,
+                       weights: Optional[np.ndarray] = None):
+        if weights is None:
+            weights = np.ones((len(labels),), np.float32)
         self.state, metrics = self._train_step(
-            self.state, jnp.asarray(signals), jnp.asarray(labels), self._data_rng
+            self.state, jnp.asarray(signals), jnp.asarray(labels),
+            jnp.asarray(weights, dtype=jnp.float32), self._data_rng,
         )
         return metrics
 
@@ -246,6 +261,22 @@ class Trainer:
         return {"params": state.params, "batch_stats": state.batch_stats}
 
 
+def iter_epoch_batches(epoch_order: np.ndarray, batch_size: int):
+    """Yield (indices, weights) batches covering every index exactly once.
+
+    The final partial batch is padded to `batch_size` by repeating its last
+    index with weight 0 — one compiled batch shape, no dropped samples.
+    """
+    for start in range(0, len(epoch_order), batch_size):
+        idx = epoch_order[start : start + batch_size]
+        weights = np.ones((batch_size,), np.float32)
+        if len(idx) < batch_size:
+            pad = batch_size - len(idx)
+            weights[len(idx):] = 0.0
+            idx = np.concatenate([idx, np.repeat(idx[-1:], pad)])
+        yield idx, weights
+
+
 def train_loop(
     trainer: Trainer,
     signals: np.ndarray,
@@ -280,9 +311,10 @@ def train_loop(
         t0 = time.monotonic()
         epoch_order = rng.permutation(np.repeat(train_idx, aug_factor))
         losses = []
-        for start in range(0, len(epoch_order) - batch_size + 1, batch_size):
-            batch_idx = epoch_order[start : start + batch_size]
-            metrics = trainer.run_train_step(signals[batch_idx], labels[batch_idx])
+        for batch_idx, weights in iter_epoch_batches(epoch_order, batch_size):
+            metrics = trainer.run_train_step(
+                signals[batch_idx], labels[batch_idx], weights
+            )
             losses.append(metrics)
         train_loss = float(np.mean([float(m["loss"]) for m in losses])) if losses else 0.0
         val = (

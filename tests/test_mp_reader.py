@@ -32,3 +32,92 @@ def test_mp_reader_reads_everything(tmp_path):
 
 def test_mp_reader_empty_input():
     assert list(iter_signals_mp([], num_workers=2)) == []
+
+
+def test_reader_pool_multi_pass_and_abandon(tmp_path):
+    """One pool serves several passes; an abandoned pass leaks nothing."""
+    from deepbinner_tpu.runner.mp_reader import ReaderPool
+
+    simulate.make_dataset(tmp_path, reads_per_barcode=1, none_reads=2,
+                          genome_length=300, seed=4, write_fastq=False)
+    files = fast5_io.find_all_fast5s(tmp_path)
+    expected = {}
+    for path in files:
+        for read_id, signal in fast5_io.iterate_reads_in_fast5(path):
+            expected[read_id] = signal
+
+    with ReaderPool(num_workers=2) as pool:
+        first = dict(pool.iter_reads(files))
+        assert set(first) == set(expected)
+        # Abandon a pass mid-drain...
+        gen = pool.iter_reads(files)
+        next(gen)
+        gen.close()
+        # ...and the next full pass still returns exactly the dataset.
+        again = dict(pool.iter_reads(files))
+        assert set(again) == set(expected)
+        for read_id in again:
+            np.testing.assert_array_equal(again[read_id], expected[read_id])
+
+
+def test_reader_pool_worker_built_batches(tmp_path):
+    """Batch mode: worker-built batches carry exactly the dataset's reads."""
+    from deepbinner_tpu.runner.hostbatch import BatchSpec
+    from deepbinner_tpu.runner.mp_reader import ReaderPool
+
+    simulate.make_dataset(tmp_path, reads_per_barcode=1, none_reads=2,
+                          genome_length=300, seed=6, write_fastq=False)
+    files = fast5_io.find_all_fast5s(tmp_path)
+    full = {}
+    for path in files:
+        for read_id, signal in fast5_io.iterate_reads_in_fast5(path):
+            full[read_id] = signal
+
+    spec = BatchSpec(batch_size=4, buffer_size=256, dual=True)
+    with ReaderPool(num_workers=2, batch_spec=spec) as pool:
+        seen = {}
+        for ids, start, start_len, end, end_len in pool.iter_batches(files):
+            assert start.shape == (4, 256) and end.shape == (4, 256)
+            assert 0 < len(ids) <= 4
+            for i, read_id in enumerate(ids):
+                seen[read_id] = (start[i].copy(), int(start_len[i]),
+                                 end[i].copy(), int(end_len[i]))
+            # Rows beyond len(ids) are zero padding.
+            assert not start[len(ids):].any()
+        # Second pass works too (persistent pool).
+        n2 = sum(len(b[0]) for b in pool.iter_batches(files))
+    assert set(seen) == set(full) and n2 == len(full)
+    for read_id, signal in full.items():
+        row, n, erow, en = seen[read_id]
+        expect = min(signal.size, 256)
+        assert n == expect and en == expect
+        np.testing.assert_array_equal(row[:n], signal[:n])
+        np.testing.assert_array_equal(erow[:n], signal[-n:][::-1])
+
+
+def test_reader_pool_trim_preserves_batches(tmp_path):
+    """Worker-side head/tail trimming leaves built batches bit-identical."""
+    from deepbinner_tpu.ops.preprocess import PreprocessConfig
+    from deepbinner_tpu.runner.executor import build_batch
+    from deepbinner_tpu.runner.mp_reader import ReaderPool
+
+    simulate.make_dataset(tmp_path, reads_per_barcode=1, none_reads=2,
+                          genome_length=300, seed=5, write_fastq=False)
+    files = fast5_io.find_all_fast5s(tmp_path)
+    full = {}
+    for path in files:
+        for read_id, signal in fast5_io.iterate_reads_in_fast5(path):
+            full[read_id] = signal
+
+    cfg = PreprocessConfig(scan_size=192, window=64, stride=64, trim_scan=64)
+    buffer = cfg.buffer_size
+    assert any(sig.size > 2 * buffer for sig in full.values())  # trim is real
+    with ReaderPool(num_workers=2, trim_head=buffer, trim_tail=buffer) as pool:
+        trimmed = dict(pool.iter_reads(files))
+
+    order = sorted(full)
+    ref = build_batch([(r, full[r]) for r in order], cfg, len(order), True)
+    got = build_batch([(r, trimmed[r]) for r in order], cfg, len(order), True)
+    assert ref[0] == got[0]
+    for a, b in zip(ref[1:], got[1:]):
+        np.testing.assert_array_equal(a, b)

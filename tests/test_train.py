@@ -13,9 +13,88 @@ from deepbinner_tpu.train.trainer import (
     TINY_PRESET,
     TrainConfig,
     Trainer,
+    iter_epoch_batches,
     train_loop,
 )
+
+
+def test_epoch_batches_cover_every_sample():
+    """No dropped partial batch: every index appears with weight 1 exactly once."""
+    for n, batch_size in [(10, 4), (8, 8), (3, 8), (17, 5)]:
+        order = np.random.default_rng(n).permutation(n)
+        seen = []
+        for idx, weights in iter_epoch_batches(order, batch_size):
+            assert idx.shape == (batch_size,)
+            assert weights.shape == (batch_size,)
+            seen.extend(idx[weights > 0].tolist())
+        assert sorted(seen) == sorted(order.tolist())
 from deepbinner_tpu.utils import simulate
+
+
+def test_edit_distance_find_exact_and_indels():
+    # Exact hit.
+    assert prep_mod.edit_distance_find("AAACGTACGTAAA", "CGTACGT", 0) == (3, 10, 0)
+    # One substitution.
+    start, end, edits = prep_mod.edit_distance_find("AAACGTACGTAAA", "CGTTCGT", 1)
+    assert (start, end, edits) == (3, 10, 1)
+    # One deletion in the haystack copy (needle base missing).
+    start, end, edits = prep_mod.edit_distance_find("AAACGTCGTAAA", "CGTACGT", 1)
+    assert edits == 1 and start == 3 and end == 9
+    # One insertion in the haystack copy.
+    start, end, edits = prep_mod.edit_distance_find("AAACGTAACGTAAA", "CGTACGT", 1)
+    assert edits == 1 and start == 3 and end == 11
+    # No match within budget.
+    assert prep_mod.edit_distance_find("AAACGTACGTAAA", "GGGGGGG", 1) is None
+    assert prep_mod.edit_distance_find("", "AAAA", 0) is None
+
+
+def _corrupt_with_indels(sequence, rng, rate=0.10):
+    """Apply insertions/deletions at `rate` per base (half each)."""
+    out = []
+    for base in sequence:
+        roll = rng.random()
+        if roll < rate / 2:
+            continue  # deletion
+        if roll < rate:
+            out.append("ACGT"[rng.integers(4)])  # insertion before the base
+        out.append(base)
+    return "".join(out)
+
+
+def test_indel_tolerant_localisation_beats_hamming():
+    """At 10% indel error the edit search recovers ≥90%; Hamming ~0%.
+
+    This is the round-1 VERDICT item 4 acceptance test: real nanopore
+    basecalls carry indels, which a fixed-width Hamming scan cannot absorb.
+    """
+    rng = np.random.default_rng(7)
+    barcodes = simulate.barcode_sequences("EXP-NBD103")
+    trials = 40
+    edit_hits = 0
+    hamming_hits = 0
+    for t in range(trials):
+        true_idx = int(rng.integers(len(barcodes)))
+        barcode = barcodes[true_idx]
+        flank_l = "".join(rng.choice(list("ACGT"), 60))
+        flank_r = "".join(rng.choice(list("ACGT"), 200))
+        read = _corrupt_with_indels(flank_l + barcode + flank_r, rng, 0.10)
+        # Edit-distance search: pick the barcode with the fewest edits.
+        best = None
+        for i, candidate in enumerate(barcodes):
+            hit = prep_mod.edit_distance_find(read[:150], candidate, 5)
+            if hit and (best is None or hit[2] < best[0]):
+                best = (hit[2], i, hit[0])
+        if best is not None and best[1] == true_idx and abs(best[2] - 60) <= 12:
+            edit_hits += 1
+        # Hamming scan at the old default budget.
+        for i, candidate in enumerate(barcodes):
+            if prep_mod.approximate_find(read[:150], candidate, 3) >= 0:
+                hamming_hits += i == true_idx
+                break
+    assert edit_hits >= 0.9 * trials, f"edit search recovered {edit_hits}/{trials}"
+    # A 24-mer escapes indel corruption entirely ~e^-2.4 ≈ 9% of the time, so
+    # Hamming isn't literally 0% — but it must be far below the edit search.
+    assert hamming_hits <= 0.25 * trials, f"hamming recovered {hamming_hits}/{trials}"
 
 
 def test_approximate_find():
