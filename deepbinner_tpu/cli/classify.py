@@ -20,19 +20,21 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 from deepbinner_tpu.utils import table
-from deepbinner_tpu.utils.fast5 import find_all_fast5s
+from deepbinner_tpu.utils.fast5 import find_signal_files
 from deepbinner_tpu.utils.log import Progress, log, quit_with_error, section
 
 
 def _resolve_inputs(path: str) -> List[str]:
     if os.path.isdir(path):
-        files = find_all_fast5s(path)
+        files = find_signal_files(path)
         if not files:
-            quit_with_error(f"no fast5 files found in {path}")
+            quit_with_error(f"no fast5/pod5 files found in {path}")
         return files
-    if os.path.isfile(path) and path.endswith(".fast5"):
+    if os.path.isfile(path) and path.endswith((".fast5", ".pod5")):
         return [path]
-    raise quit_with_error(f"{path} is neither a fast5 directory nor a fast5 file")
+    raise quit_with_error(
+        f"{path} is neither a signal-file directory nor a fast5/pod5 file"
+    )
 
 
 def build_program(args) -> Tuple[object, object]:
@@ -130,17 +132,141 @@ def result_to_row(result, verbose: bool, dual: bool) -> str:
     return "\t".join(parts)
 
 
+class StreamRunner:
+    """One classify run's streaming machinery, reusable across work shards.
+
+    Owns either a persistent reader-worker pool (TPU default: file decode
+    must not share a process with the live TPU client) or the in-process
+    thread readers (CPU default: no spawn/import cost).  `classify(files)`
+    streams ReadResults for any subset of files, so the resumable shard
+    loop reuses the compiled program AND the reader pool.
+    """
+
+    def __init__(self, program, args, stats) -> None:
+        self.program = program
+        self.args = args
+        self.stats = stats
+        self.pool = None
+        reader_processes = int(getattr(args, "reader_processes", -1))
+        if reader_processes < 0:
+            import jax
+
+            platform = jax.devices()[0].platform
+            reader_processes = 2 if platform not in ("cpu",) else 0
+        if reader_processes > 0:
+            from deepbinner_tpu.runner.executor import BatchSpec
+            from deepbinner_tpu.runner.mp_reader import ReaderPool
+
+            log(f"  {reader_processes} reader worker process(es), "
+                f"worker-side batch assembly")
+            spec = BatchSpec(
+                batch_size=args.batch_size,
+                buffer_size=program.cfg.preprocess.buffer_size,
+                dual=program.cfg.dual_model,
+            )
+            self.pool = ReaderPool(
+                num_workers=reader_processes, batch_spec=spec,
+                use_native=not getattr(args, "no_native_reader", False),
+            )
+        else:
+            self.read_fn = _select_read_fn(args)
+
+    def classify(self, files):
+        if self.pool is not None:
+            from deepbinner_tpu.runner.executor import classify_batches
+
+            return classify_batches(
+                self.program, self.pool.iter_batches(files, self.stats),
+                stats=self.stats,
+            )
+        from deepbinner_tpu.runner.executor import classify_files
+
+        return classify_files(
+            self.program, files, batch_size=self.args.batch_size,
+            num_readers=self.args.num_readers, stats=self.stats,
+            read_fn=self.read_fn,
+        )
+
+    def close(self) -> None:
+        if self.pool is not None:
+            self.pool.close()
+
+
+def _classify_resumable(
+    runner: "StreamRunner",
+    files: List[str],
+    shard_dir: str,
+    shard_files: int,
+    progress: Progress,
+) -> List[Tuple[str, str]]:
+    """Classify in work shards with atomic per-shard TSVs + skip-on-rerun.
+
+    The work-shard partition is a pure function of the sorted file list
+    (SURVEY.md §5 checkpoint/resume row): shard k = files[k*N:(k+1)*N].  A
+    manifest pins the input set so stale shard tables can never leak into a
+    different run's output.  Finished shards are loaded, not reclassified —
+    kill-and-rerun converges to the same merged table byte-for-byte.
+    """
+    import hashlib
+    import json
+
+    ordered = sorted(files)
+    digest = hashlib.sha256("\n".join(ordered).encode()).hexdigest()
+    os.makedirs(shard_dir, exist_ok=True)
+    manifest_path = os.path.join(shard_dir, "manifest.json")
+    manifest = {"input_sha256": digest, "shard_files": shard_files,
+                "n_files": len(ordered)}
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as handle:
+            found = json.load(handle)
+        if found != manifest:
+            quit_with_error(
+                f"{shard_dir} holds shards for a different input set/config "
+                f"({found} != {manifest}); use a fresh --shard_dir"
+            )
+    else:
+        table.write_rows_atomic(manifest_path, [json.dumps(manifest)])
+
+    rows: List[Tuple[str, str]] = []
+    resumed = 0
+    for k in range(0, len(ordered), shard_files):
+        chunk = ordered[k : k + shard_files]
+        shard_path = os.path.join(shard_dir, f"shard_{k // shard_files:06d}.tsv")
+        if os.path.exists(shard_path):
+            rows.extend(table.parse_classification_file(shard_path).items())
+            resumed += len(chunk)
+            continue
+        shard_rows = []
+        for result in runner.classify(chunk):
+            shard_rows.append(
+                (result.read_id, table.class_index_to_call(result.call))
+            )
+            progress.update()
+        shard_rows.sort()
+        table.write_rows_atomic(
+            shard_path, (table.format_row(r, c) for r, c in shard_rows)
+        )
+        rows.extend(shard_rows)
+    if resumed:
+        log(f"  resumed: {resumed} file(s) already classified in {shard_dir}")
+    return rows
+
+
 def classify_fast5_files(args) -> None:
     from deepbinner_tpu.parallel import dist
-    from deepbinner_tpu.runner.executor import ExecutorStats, classify_files
+    from deepbinner_tpu.runner.executor import ExecutorStats
 
     files = _resolve_inputs(args.input)
     shard = dist.shard_files(files)
     section(f"Classifying {len(files)} fast5 file(s)"
             + (f" (this host: {len(shard)})" if len(shard) != len(files) else ""))
 
+    shard_dir = getattr(args, "shard_dir", None)
+    if shard_dir and args.verbose:
+        quit_with_error("--shard_dir stores plain call tables; it cannot be "
+                        "combined with --verbose")
+
     program, _ = build_program(args)
-    read_fn = _select_read_fn(args)
 
     profile = contextlib.nullcontext()
     if getattr(args, "profile_dir", None):
@@ -153,30 +279,24 @@ def classify_fast5_files(args) -> None:
     local_rows: List[Tuple[str, str]] = []
     verbose_rows: List[str] = []
 
-    reader_processes = int(getattr(args, "reader_processes", 0) or 0)
-    if reader_processes > 0:
-        from deepbinner_tpu.runner.executor import classify_stream
-        from deepbinner_tpu.runner.mp_reader import iter_signals_mp
-
-        signals = iter_signals_mp(
-            shard, num_workers=reader_processes, stats=stats,
-            use_native=not getattr(args, "no_native_reader", False),
-        )
-        results = classify_stream(program, signals,
-                                  batch_size=args.batch_size, stats=stats)
-    else:
-        results = classify_files(
-            program, shard, batch_size=args.batch_size,
-            num_readers=args.num_readers, stats=stats, read_fn=read_fn,
-        )
-    with profile:
-        for result in results:
-            local_rows.append(
-                (result.read_id, table.class_index_to_call(result.call))
-            )
-            if args.verbose:
-                verbose_rows.append(result_to_row(result, True, dual))
-            progress.update()
+    runner = StreamRunner(program, args, stats)
+    try:
+        with profile:
+            if shard_dir:
+                local_rows = _classify_resumable(
+                    runner, shard, shard_dir,
+                    int(getattr(args, "shard_files", 0) or 256), progress,
+                )
+            else:
+                for result in runner.classify(shard):
+                    local_rows.append(
+                        (result.read_id, table.class_index_to_call(result.call))
+                    )
+                    if args.verbose:
+                        verbose_rows.append(result_to_row(result, True, dual))
+                    progress.update()
+    finally:
+        runner.close()
     elapsed = progress.finish()
     if stats.failed_files:
         log(f"  skipped {stats.failed_files} unreadable file(s)")
@@ -206,7 +326,15 @@ def _select_read_fn(args):
 
         if fast5_reader.available():
             log("  using native C++ fast5 reader")
-            return fast5_reader.read_file
+
+            def dispatch(path: str):
+                # The C++ reader speaks libhdf5 only; pod5 decodes through
+                # the pure-Python parser (pyarrow/zstd do the heavy work).
+                if path.endswith(".pod5"):
+                    return _default_read_fn(path)
+                return fast5_reader.read_file(path)
+
+            return dispatch
         if wants_native:
             log("  native reader not built; falling back to h5py "
                 "(build: python -m deepbinner_tpu.native.build)")

@@ -62,6 +62,10 @@ def _add_model_args(parser: argparse.ArgumentParser) -> None:
 
 
 def _add_classify_common(parser: argparse.ArgumentParser) -> None:
+    # PARITY-REVERIFY: scan_size/score_diff/min_score defaults were pinned
+    # from memory of the reference CLI while the mount was empty (SURVEY.md
+    # §0 [M]); re-check against deepbinner/deepbinner.py::get_arguments()
+    # the moment /root/reference/ is populated.
     group = parser.add_argument_group("Classification")
     group.add_argument("--scan_size", type=int, default=6144,
                        help="Samples of each read end examined (default 6144)")
@@ -73,13 +77,20 @@ def _add_classify_common(parser: argparse.ArgumentParser) -> None:
                        help="Dual-model: both read ends must agree (default: either)")
     group.add_argument("--batch_size", type=int, default=256,
                        help="Reads per device batch (default 256)")
+    group.add_argument("--shard_dir",
+                       help="Directory for atomic per-shard call tables; "
+                            "re-runs skip finished shards (resume after an "
+                            "interrupted run; merged output is byte-identical)")
+    group.add_argument("--shard_files", type=int, default=256,
+                       help="fast5 files per resumable shard (default 256)")
     group.add_argument("--verbose", action="store_true",
                        help="Include per-class probabilities in the output table")
     perf = parser.add_argument_group("Performance")
     perf.add_argument("--num_readers", type=int, default=4,
                       help="fast5 reader threads (default 4)")
-    perf.add_argument("--reader_processes", type=int, default=0,
-                      help="fast5 reader worker processes (0 = in-process "
+    perf.add_argument("--reader_processes", type=int, default=-1,
+                      help="fast5 reader worker processes (-1 = auto: 2 on "
+                           "TPU, in-process on CPU; 0 = in-process "
                            "threads; >0 scales past the single-libhdf5 lock)")
     perf.add_argument("--native_reader", action="store_true",
                       help="Use the C++ libhdf5 batch reader (default: auto "

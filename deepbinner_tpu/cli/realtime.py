@@ -26,7 +26,7 @@ import time
 from typing import Dict, List, Set
 
 from deepbinner_tpu.utils import table
-from deepbinner_tpu.utils.fast5 import find_all_fast5s, iterate_reads_in_fast5
+from deepbinner_tpu.utils.fast5 import find_signal_files, read_signal_file
 from deepbinner_tpu.utils.log import log, section
 
 _MAX_ATTEMPTS = 5
@@ -38,7 +38,7 @@ def _classify_new_files(program, new_files: List[str], args, counts: Dict[str, i
     from deepbinner_tpu.runner.executor import classify_stream
 
     if read_fn is None:
-        read_fn = lambda path: list(iterate_reads_in_fast5(path))  # noqa: E731
+        read_fn = read_signal_file  # fast5 and pod5
     signals = []
     owners: Dict[str, str] = {}  # read_id -> path
     unreadable: Set[str] = set()
@@ -91,7 +91,7 @@ def realtime(args) -> None:
             if args.stop_file and os.path.exists(args.stop_file):
                 log("  stop file found; exiting")
                 break
-            new_files = [f for f in find_all_fast5s(args.in_dir) if f not in done]
+            new_files = [f for f in find_signal_files(args.in_dir) if f not in done]
             if new_files:
                 batch_start = time.monotonic()
                 moves, unreadable = _classify_new_files(

@@ -13,6 +13,14 @@ Note on determinism: the window-combine is a fixed-order masked mean; calls
 are argmax over f32 probabilities.  Keeping every reduction in a pinned
 static order is what makes multi-run / multi-host output reproducible
 (SURVEY.md §7 "bit-identical calls" risk).
+
+PARITY-REVERIFY: the reference mount was EMPTY when these semantics were
+pinned (SURVEY.md §0).  The survey describes the reference's window combine
+as mean/max [M]; this module instead uses a best-evidence-window combine
+(measured better on synthetic data, see combine_window_probs).  The moment
+`/root/reference/` is populated, re-derive combine_window_probs,
+call_one_end, and reconcile_calls from the real ``deepbinner/classify.py``
+before trusting any bit-parity claim.
 """
 
 from __future__ import annotations

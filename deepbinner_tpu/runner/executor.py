@@ -57,7 +57,7 @@ ReadFn = Callable[[str], List[Tuple[str, np.ndarray]]]
 
 
 def _default_read_fn(path: str) -> List[Tuple[str, np.ndarray]]:
-    return list(fast5_io.iterate_reads_in_fast5(path))
+    return fast5_io.read_signal_file(path)  # fast5 AND pod5 by extension
 
 
 def _reader_worker(

@@ -70,17 +70,22 @@ def _pool_worker(
     trim_tail: int,
     batch_spec: Optional[BatchSpec],
 ) -> None:
-    # Import inside the child: no JAX, just HDF5 decode.
-    read_file = None
+    # Import inside the child: no JAX, just file decode.
+    from deepbinner_tpu.utils.fast5 import read_signal_file
+
+    fast5_fn = None
     if use_native:
         from deepbinner_tpu.native import fast5_reader
 
         if fast5_reader.available():
-            read_file = fast5_reader.read_file
-    if read_file is None:
-        from deepbinner_tpu.utils.fast5 import iterate_reads_in_fast5
+            fast5_fn = fast5_reader.read_file
 
-        read_file = lambda path: list(iterate_reads_in_fast5(path))  # noqa: E731
+    def read_file(path: str):
+        # pod5 decodes through pyarrow/zstd (C++ under the hood already);
+        # the native C++ reader covers the libhdf5 (fast5) path.
+        if fast5_fn is not None and not path.endswith(".pod5"):
+            return fast5_fn(path)
+        return read_signal_file(path)
 
     pending: List[Tuple[str, np.ndarray]] = []
 

@@ -31,7 +31,7 @@ from deepbinner_tpu.train import data as data_io
 from deepbinner_tpu.utils import seqio
 from deepbinner_tpu.utils.fast5 import (
     find_all_fast5s,
-    get_move_table,
+    get_move_tables,
     iterate_reads_in_fast5,
 )
 from deepbinner_tpu.utils.log import Progress, log, quit_with_error, section
@@ -241,16 +241,15 @@ def prep(args) -> None:
     skipped = 0
     no_move_files = 0
     for path in files:
-        # One move-table lookup per file (it is a function of the path).
-        # Limitation: the table is read from the root-level Analyses group —
-        # the single-read (albacore-era) layout prep targets; reads in
-        # multi-read fast5s have per-read tables we don't parse yet, and are
-        # counted under "no move table" below rather than silently dropped.
-        move = get_move_table(path)
-        if move is None:
+        # One pass resolves every move table in the file: the root-level
+        # Analyses group of single-read (albacore-era) files AND the
+        # per-read read_<id>/Analyses groups of multi-read MinKNOW files.
+        moves = get_move_tables(path)
+        if not moves:
             no_move_files += 1
         for read_id, signal in iterate_reads_in_fast5(path):
             sequence = sequences.get(read_id)
+            move = moves.get(read_id)
             if sequence is None or move is None:
                 skipped += 1
                 continue
@@ -264,8 +263,7 @@ def prep(args) -> None:
     progress.finish()
     if skipped:
         log(f"  skipped {skipped} reads (no basecall or no move table; "
-            f"{no_move_files} file(s) lacked a root-level move table — "
-            f"multi-read fast5s are not yet supported by prep)")
+            f"{no_move_files} file(s) carried no move tables at all)")
     if not rows:
         quit_with_error("no training samples extracted")
     data_io.write_samples(args.out, rows)

@@ -77,6 +77,29 @@ def iterate_reads_in_fast5(path: str | os.PathLike) -> Iterator[Tuple[str, np.nd
         yield from _iter_multi_read_layout(handle)
 
 
+def find_signal_files(directory: str | os.PathLike) -> List[str]:
+    """Recursively find raw-signal containers (*.fast5 and *.pod5), sorted."""
+    found: List[str] = []
+    for root, _dirs, files in os.walk(directory):
+        for name in files:
+            if name.endswith((".fast5", ".pod5")):
+                found.append(os.path.join(root, name))
+    return sorted(found)
+
+
+def read_signal_file(path: str) -> List[Tuple[str, np.ndarray]]:
+    """All reads from one raw-signal container, by extension (ReadFn contract).
+
+    fast5 → h5py backend; pod5 → the pure-Python pod5 parser.  This is the
+    format-agnostic default the executor and reader workers plug in.
+    """
+    if path.endswith(".pod5"):
+        from deepbinner_tpu.utils.pod5 import read_pod5
+
+        return read_pod5(path)
+    return list(iterate_reads_in_fast5(path))
+
+
 def get_read_id_and_signal(
     path: str | os.PathLike,
 ) -> Tuple[Optional[str], Optional[np.ndarray]]:
@@ -93,30 +116,81 @@ def get_read_id_and_signal(
         return None, None
 
 
+def _move_table_from_group(group) -> Optional[Tuple[int, np.ndarray]]:
+    """(first_sample, dwells) from an ``Analyses``-bearing HDF5 group."""
+    move = group.get("Analyses/Basecall_1D_000/BaseCalled_template/Move")
+    if move is None:
+        return None
+    first = 0
+    summary = group.get("Analyses/Segmentation_000/Summary")
+    if summary is not None:
+        first = int(summary.attrs.get("first_sample_template", 0))
+    return first, np.asarray(move[:], dtype=np.int64)
+
+
 def get_move_table(
     path: str | os.PathLike,
 ) -> Optional[Tuple[int, np.ndarray]]:
-    """Read the basecaller move/dwell table → (first_sample, per-base dwells).
+    """Root-level move/dwell table → (first_sample, per-base dwells).
 
     The reference maps basecalled coordinates to raw-signal coordinates via
     the albacore event table in the fast5 (SURVEY.md §3.4); modern
-    basecallers store an equivalent Move table.  Returns None when absent
-    (prep then skips the read).
+    basecallers store an equivalent Move table.  Returns None when absent.
+    Single-read layout only — prefer :func:`get_move_tables`, which also
+    resolves per-read tables in multi-read files.
     """
     import h5py
 
     try:
         with h5py.File(path, "r") as handle:
-            move = handle.get("Analyses/Basecall_1D_000/BaseCalled_template/Move")
-            summary = handle.get("Analyses/Segmentation_000/Summary")
-            if move is None:
-                return None
-            first = 0
-            if summary is not None:
-                first = int(summary.attrs.get("first_sample_template", 0))
-            return first, np.asarray(move[:], dtype=np.int64)
+            return _move_table_from_group(handle)
     except (OSError, KeyError, ValueError):
         return None
+
+
+def get_move_tables(
+    path: str | os.PathLike,
+) -> dict:
+    """All move/dwell tables in a fast5 → {read_id: (first_sample, dwells)}.
+
+    Handles both layouts: the albacore-era single-read file stores ONE
+    root-level ``Analyses`` group (mapped here to that file's read id), and
+    multi-read MinKNOW files store a per-read ``read_<id>/Analyses`` group.
+    Unreadable files return {} — prep counts and skips them.
+    """
+    import h5py
+
+    tables: dict = {}
+    try:
+        with h5py.File(path, "r") as handle:
+            root_table = _move_table_from_group(handle)
+            if root_table is not None:
+                reads_group = handle.get("Raw/Reads")
+                if reads_group is not None:
+                    for read_name in reads_group:
+                        read_id = reads_group[read_name].attrs.get(
+                            "read_id", read_name
+                        )
+                        if isinstance(read_id, bytes):
+                            read_id = read_id.decode()
+                        tables[str(read_id)] = root_table
+            for key in handle:
+                if not key.startswith("read_"):
+                    continue
+                group = handle[key]
+                per_read = _move_table_from_group(group)
+                if per_read is None:
+                    continue
+                raw = group.get("Raw")
+                read_id = key[len("read_"):]
+                if raw is not None:
+                    read_id = raw.attrs.get("read_id", read_id)
+                if isinstance(read_id, bytes):
+                    read_id = read_id.decode()
+                tables[str(read_id)] = per_read
+    except (OSError, KeyError, ValueError):
+        return {}
+    return tables
 
 
 def write_single_read_fast5(
@@ -137,9 +211,16 @@ def write_single_read_fast5(
 
 
 def write_multi_read_fast5(
-    path: str | os.PathLike, reads: List[Tuple[str, np.ndarray]]
+    path: str | os.PathLike,
+    reads: List[Tuple[str, np.ndarray]],
+    moves: Optional[dict] = None,
 ) -> None:
-    """Write a multi-read fast5: /read_<id>/Raw/Signal."""
+    """Write a multi-read fast5: /read_<id>/Raw/Signal.
+
+    `moves` optionally maps read_id → (first_sample, dwells); matching reads
+    get a per-read ``read_<id>/Analyses`` basecaller group the way MinKNOW
+    multi-read files carry one (consumed by :func:`get_move_tables`).
+    """
     import h5py
 
     with h5py.File(path, "w") as handle:
@@ -149,3 +230,15 @@ def write_multi_read_fast5(
             raw.create_dataset(
                 "Signal", data=np.asarray(signal, dtype=np.int16), dtype="<i2"
             )
+            move = (moves or {}).get(read_id)
+            if move is not None:
+                first_sample, dwells = move
+                summary = handle.create_group(
+                    f"read_{read_id}/Analyses/Segmentation_000/Summary"
+                )
+                summary.attrs["first_sample_template"] = int(first_sample)
+                handle.create_dataset(
+                    f"read_{read_id}/Analyses/Basecall_1D_000/"
+                    f"BaseCalled_template/Move",
+                    data=np.asarray(dwells, dtype=np.int32),
+                )

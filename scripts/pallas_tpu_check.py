@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""On-chip Pallas validation: non-interpret parity + per-path timing.
+
+tests/test_pallas.py pins kernel and full-network parity in *interpret* mode
+on CPU (the test suite is CPU-pinned); this script is the real-TPU
+counterpart (round-1 VERDICT item 3): it compiles the Mosaic kernels for the
+chip, checks numerical parity of every fused unit and of the whole classify
+step against the lax/flax path, and times both paths' device-only batch
+loop so the default (`ClassifyConfig.use_pallas`) is an evidence-based
+choice.
+
+Run on the TPU host:  python scripts/pallas_tpu_check.py
+Prints one JSON line per result; nonzero exit on parity failure.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/deepbinner_tpu_jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deepbinner_tpu.models.checkpoint import load_model
+    from deepbinner_tpu.models.network import apply_inference
+    from deepbinner_tpu.models.pallas_apply import apply_inference_pallas
+    from deepbinner_tpu.ops.conv_pallas import (
+        conv1d_bn_relu_reference,
+        fused_conv1d_bn_relu,
+    )
+
+    platform = jax.devices()[0].platform
+    print(f"# device: {jax.devices()[0]} (platform {platform})", flush=True)
+    interpret = platform == "cpu"  # chip → real Mosaic compile
+
+    model_file = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "deepbinner_tpu", "models", "data", "EXP-NBD103_read_starts.dbt",
+    )
+    model, variables, net_cfg, _ = load_model(model_file)
+    rng = np.random.default_rng(0)
+    failures = 0
+
+    # 1. Per-unit kernel parity across the flagship layer geometries.
+    geometries = [
+        # (C_in, C_out, K, dilation, L) — the wide layers Pallas owns.
+        (net_cfg.stem_features, net_cfg.stem_features, 3, 1, 512),
+        (net_cfg.block_features[0], net_cfg.block_features[0], 3, 1, 256),
+        (net_cfg.inception_features[0], net_cfg.inception_features[0], 3, 2, 128),
+        (net_cfg.inception_features[-1], net_cfg.head_features, 1, 1, 64),
+    ]
+    for c_in, c_out, taps, dil, length in geometries:
+        x = jnp.asarray(rng.normal(size=(16, length, c_in)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(taps, c_in, c_out)) * 0.1, jnp.float32)
+        scale = jnp.asarray(rng.normal(size=(c_out,)) * 0.5 + 1.0, jnp.float32)
+        bias = jnp.asarray(rng.normal(size=(c_out,)) * 0.1, jnp.float32)
+        got = jax.jit(
+            lambda x, k, s, b: fused_conv1d_bn_relu(
+                x, k, s, b, dilation=dil, interpret=interpret)
+        )(x, k, scale, bias)
+        want = conv1d_bn_relu_reference(x, k, scale, bias, dilation=dil)
+        diff = float(jnp.max(jnp.abs(got - want)))
+        ok = diff < 2e-4
+        failures += not ok
+        print(json.dumps({"check": "unit", "cin": c_in, "cout": c_out,
+                          "k": taps, "dil": dil, "max_abs_diff": diff,
+                          "ok": ok}), flush=True)
+
+    # 2. Full-network parity: probabilities + argmax calls.
+    windows = jnp.asarray(
+        rng.normal(size=(64, net_cfg.input_length, 1)), jnp.float32
+    )
+    p_pallas = jax.jit(
+        lambda v, w: apply_inference_pallas(net_cfg, v, w, interpret=interpret)
+    )(variables, windows)
+    p_flax = jax.jit(lambda v, w: apply_inference(model, v, w))(variables, windows)
+    diff = float(jnp.max(jnp.abs(p_pallas - p_flax)))
+    calls_equal = bool(
+        jnp.all(jnp.argmax(p_pallas, -1) == jnp.argmax(p_flax, -1))
+    )
+    # The parity target is the DECISION, not the last ulps of the softmax
+    # (SURVEY.md §7 risk 1): different fusion/accumulation orders legitimately
+    # move full-network f32 probabilities ~1e-3; argmax must not move.
+    ok = diff < 2e-3 and calls_equal
+    failures += not ok
+    print(json.dumps({"check": "full_network", "max_abs_prob_diff": diff,
+                      "argmax_calls_equal": calls_equal, "ok": ok}), flush=True)
+
+    # 2b. Whole classify-step call parity on realistic simulated squiggles.
+    from deepbinner_tpu.ops.calling import CallingConfig
+    from deepbinner_tpu.ops.preprocess import PreprocessConfig
+    from deepbinner_tpu.runner.executor import build_batch
+    from deepbinner_tpu.runner.pipeline import ClassifyConfig, ClassifyProgram
+    from deepbinner_tpu.utils.simulate import simulate_read
+
+    sim_rng = np.random.default_rng(1)
+    reads = [
+        (f"r{i}", simulate_read("EXP-NBD103", i % 13, sim_rng,
+                                genome_length=1500).signal)
+        for i in range(64)
+    ]
+    pre = PreprocessConfig()
+    ids, sig, lens, _e, _el = build_batch(reads, pre, 64, False)
+    tables = {}
+    for name, use_pallas in [("xla", False), ("pallas", True)]:
+        cfg = ClassifyConfig(pre, CallingConfig(), False, use_pallas=use_pallas)
+        prog = ClassifyProgram(model, cfg, variables)
+        tables[name] = np.asarray(prog(sig, lens).calls)
+    step_equal = bool(np.array_equal(tables["xla"], tables["pallas"]))
+    failures += not step_equal
+    print(json.dumps({"check": "classify_step_calls",
+                      "calls_equal": step_equal,
+                      "n_reads": len(ids), "ok": step_equal}), flush=True)
+
+    # 3. Timing: device-only classify step, both paths, flagship batch.
+    from deepbinner_tpu.ops.calling import CallingConfig
+    from deepbinner_tpu.ops.preprocess import PreprocessConfig
+    from deepbinner_tpu.runner.pipeline import ClassifyConfig, ClassifyProgram
+
+    batch = 512
+    pre = PreprocessConfig()
+    sig = np.asarray(rng.integers(300, 600, (batch, pre.buffer_size)), np.int16)
+    lens = np.full((batch,), pre.buffer_size, np.int32)
+    timings = {}
+    for name, use_pallas in [("xla", False), ("pallas", True)]:
+        cfg = ClassifyConfig(pre, CallingConfig(), False, use_pallas=use_pallas)
+        program = ClassifyProgram(model, cfg, variables)
+        program.warm_up(batch)
+        reps = 10
+        t0 = time.monotonic()
+        for _ in range(reps):
+            out = program.call_packed(sig, lens)
+        np.asarray(out)
+        dt = (time.monotonic() - t0) / reps
+        timings[name] = dt
+        print(json.dumps({"check": "timing", "path": name,
+                          "ms_per_batch": round(dt * 1e3, 2),
+                          "reads_per_s": round(batch / dt, 1)}), flush=True)
+    print(json.dumps({
+        "check": "verdict",
+        "pallas_speedup": round(timings["xla"] / timings["pallas"], 3),
+        "failures": failures,
+    }), flush=True)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

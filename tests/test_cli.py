@@ -61,6 +61,33 @@ def test_classify_deterministic(dataset, tiny_model, capsys):
     assert out1 == out2
 
 
+def test_classify_shard_resume(dataset, tiny_model, capsys, tmp_path):
+    """Kill-and-rerun with --shard_dir: byte-identical output, finished
+    shards are NOT reclassified (round-1 VERDICT item 6)."""
+    root, _ = dataset
+    plain = _classify(root, tiny_model, capsys)
+    shard_dir = tmp_path / "shards"
+    extra = ("--shard_dir", str(shard_dir), "--shard_files", "2")
+    out1 = _classify(root, tiny_model, capsys, extra=extra)
+    assert out1 == plain  # sharded output == unsharded output
+    shards = sorted(p for p in shard_dir.iterdir() if p.name.startswith("shard_"))
+    assert len(shards) > 2
+    # Simulate a killed run: drop the last shard, keep the rest.
+    victim = shards[-1]
+    victim.unlink()
+    before = {p.name: p.stat().st_mtime_ns for p in shards[:-1]}
+    out2 = _classify(root, tiny_model, capsys, extra=extra)
+    assert out2 == plain  # resumed output byte-identical
+    assert victim.exists()  # the missing shard was re-made...
+    for p in shards[:-1]:   # ...and the finished ones untouched
+        assert p.stat().st_mtime_ns == before[p.name]
+    # A different sharding of the same dir must be refused (stale-shard
+    # protection via the manifest).
+    with pytest.raises(SystemExit):
+        _classify(root, tiny_model, capsys,
+                  extra=("--shard_dir", str(shard_dir), "--shard_files", "3"))
+
+
 def test_classify_verbose_scores(dataset, tiny_model, capsys):
     root, truth = dataset
     out = _classify(root, tiny_model, capsys, extra=("--verbose",))

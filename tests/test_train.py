@@ -139,6 +139,37 @@ def test_extract_training_samples_end_reversed():
     assert 7 in [s[0] for s in samples]
 
 
+def test_prep_multi_read_fast5_move_tables(tmp_path):
+    """prep consumes per-read move tables in multi-read fast5s (VERDICT #5)."""
+    from deepbinner_tpu.cli.main import main
+    from deepbinner_tpu.utils import fast5 as fast5_io
+
+    rng = np.random.default_rng(2)
+    reads, moves, fastq = [], {}, []
+    for barcode in [1, 2, 3]:
+        read = simulate.simulate_read("EXP-NBD103", barcode, rng,
+                                      genome_length=300, open_pore_length=50)
+        reads.append((read.read_id, read.signal))
+        moves[read.read_id] = (read.signal_start_of_bases, read.dwells)
+        fastq.append(f"@{read.read_id}\n{read.sequence}\n+\n"
+                     f"{'I' * len(read.sequence)}\n")
+    f5_dir = tmp_path / "fast5s"
+    f5_dir.mkdir()
+    fast5_io.write_multi_read_fast5(f5_dir / "batch0.fast5", reads, moves)
+    (tmp_path / "reads.fastq").write_text("".join(fastq))
+
+    # Sanity: per-read tables resolve by read id.
+    tables = fast5_io.get_move_tables(f5_dir / "batch0.fast5")
+    assert set(tables) == {r for r, _ in reads}
+
+    out = tmp_path / "train.tsv"
+    main(["prep", str(f5_dir), "--kit", "EXP-NBD103", "--end", "start",
+          "--reads", str(tmp_path / "reads.fastq"), "--out", str(out),
+          "--signal_size", "512", "--margin", "64"])
+    labels = [int(line.split("\t")[0]) for line in out.read_text().splitlines()]
+    assert {1, 2, 3}.issubset(labels)  # every barcoded read yielded a sample
+
+
 def test_balance_equalises(tmp_path):
     rows = []
     rng = np.random.default_rng(0)
