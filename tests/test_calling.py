@@ -36,6 +36,26 @@ def test_combine_best_evidence_window():
     np.testing.assert_allclose(combined[0], probs[0, 0], atol=1e-6)
 
 
+def test_combine_neighbour_support():
+    """An interior best window is averaged with its stronger neighbour;
+    a masked neighbour never contributes (its probs are padding garbage)."""
+    probs = np.zeros((2, 3, NUM_CLASSES), np.float32)
+    # Read 0: barcode evidence peaks at window 1, bleeds into window 2.
+    probs[0, 0, 0] = 1.0              # window 0: clean none
+    probs[0, 1, 3] = 0.8              # window 1: best evidence
+    probs[0, 2, 3] = 0.6              # window 2: stronger neighbour
+    # Read 1: best at window 1 but both neighbours masked → no averaging.
+    probs[1, 1, 4] = 0.9
+    probs[1, 0, 5] = 1.0              # masked; must not leak in
+    probs[1, 2, 6] = 1.0              # masked; must not leak in
+    mask = jnp.asarray([[True, True, True], [False, True, False]])
+    combined = np.asarray(combine_window_probs(jnp.asarray(probs), mask))
+    np.testing.assert_allclose(
+        combined[0], 0.5 * (probs[0, 1] + probs[0, 2]), atol=1e-6
+    )
+    np.testing.assert_allclose(combined[1], probs[1, 1], atol=1e-6)
+
+
 def test_combine_masked_window_never_selected():
     probs = np.zeros((1, 2, NUM_CLASSES), np.float32)
     probs[0, 0, 0] = 1.0   # valid window: pure none
