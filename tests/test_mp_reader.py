@@ -95,6 +95,26 @@ def test_reader_pool_worker_built_batches(tmp_path):
         np.testing.assert_array_equal(erow[:n], signal[-n:][::-1])
 
 
+def test_mp_reader_decodes_pod5(tmp_path):
+    """Worker processes route .pod5 through the pure-Python parser even when
+    the native (libhdf5-only) reader is enabled."""
+    from deepbinner_tpu.utils import pod5
+
+    rng = np.random.default_rng(8)
+    reads = [(f"read_{i:04x}", rng.integers(200, 800, 3000).astype(np.int16))
+             for i in range(3)]
+    pod5.write_pod5(tmp_path / "batch.pod5", reads)
+    simulate.make_dataset(tmp_path, reads_per_barcode=1, none_reads=0,
+                          genome_length=300, seed=9, write_fastq=False)
+    files = fast5_io.find_signal_files(tmp_path)
+    assert any(f.endswith(".pod5") for f in files)
+
+    got = dict(iter_signals_mp(files, num_workers=2, use_native=True))
+    for read_id, signal in reads:
+        np.testing.assert_array_equal(got[read_id], signal)
+    assert len(got) > len(reads)  # the fast5s came through too
+
+
 def test_reader_pool_trim_preserves_batches(tmp_path):
     """Worker-side head/tail trimming leaves built batches bit-identical."""
     from deepbinner_tpu.ops.preprocess import PreprocessConfig
