@@ -15,7 +15,7 @@ from __future__ import annotations
 import contextlib
 import os
 import sys
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 
@@ -303,10 +303,13 @@ def classify_fast5_files(args) -> None:
     log(f"  throughput: {stats.reads / max(elapsed, 1e-9):.1f} reads/s (this host)")
 
     if args.verbose:
-        # Verbose tables are per-host (score columns are diagnostic).
-        print(table.header_line(True, dual))
-        for row in sorted(verbose_rows):
-            print(row)
+        # Verbose rows are gathered and sorted like the plain table, so
+        # --verbose output is also byte-identical across host counts.
+        merged_lines = dist.merge_lines(verbose_rows)
+        if dist.should_emit_table():
+            print(table.header_line(True, dual))
+            for row in merged_lines:
+                print(row)
     else:
         merged = dist.merge_call_tables(local_rows)
         if dist.should_emit_table():

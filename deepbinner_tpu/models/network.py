@@ -24,7 +24,7 @@ onto these module names when real Deepbinner models are available.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Sequence, Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax

@@ -108,20 +108,32 @@ def _encode_rows(rows: Sequence[Tuple[str, str]], width: int) -> np.ndarray:
     return out
 
 
-def _decode_rows(buffer: np.ndarray) -> List[Tuple[str, str]]:
+def _decode_rows(buffer: np.ndarray) -> list:
     length = int(np.frombuffer(buffer[:8].tobytes(), np.uint64)[0])
     payload = buffer[8 : 8 + length].tobytes().decode()
-    return [tuple(item) for item in json.loads(payload)]
+    return json.loads(payload)
+
+
+def _allgather_json(payload_rows: list) -> List[list]:
+    """All-gather one JSON-serialisable list per process → list of lists.
+
+    The payload is padded to the global max shard size (gathered first) so
+    the collective runs on one fixed-shape uint8 tensor.
+    """
+    from jax.experimental import multihost_utils
+
+    local_size = len(json.dumps(payload_rows).encode())
+    sizes = multihost_utils.process_allgather(np.asarray([local_size], np.int64))
+    width = int(np.max(sizes))
+    encoded = _encode_rows(payload_rows, width)
+    gathered = multihost_utils.process_allgather(encoded)
+    return [_decode_rows(gathered[i]) for i in range(gathered.shape[0])]
 
 
 def merge_call_tables(
     local_rows: Sequence[Tuple[str, str]]
 ) -> List[Tuple[str, str]]:
-    """All-gather per-shard call tables and merge canonically (sorted ids).
-
-    The payload is padded to the global max shard size (gathered first) so
-    the collective runs on one fixed-shape uint8 tensor.
-    """
+    """All-gather per-shard call tables and merge canonically (sorted ids)."""
     from deepbinner_tpu.utils.table import merge_shard_tables
 
     count = process_count()
@@ -129,13 +141,23 @@ def merge_call_tables(
         # Single process (or env-simulated sharding, where there is no real
         # communicator): merge locally.
         return merge_shard_tables([list(local_rows)])
+    shards = _allgather_json([list(r) for r in local_rows])
+    return merge_shard_tables(
+        [[tuple(item) for item in shard] for shard in shards]
+    )
 
-    from jax.experimental import multihost_utils
 
-    local_size = len(json.dumps(list(local_rows)).encode())
-    sizes = multihost_utils.process_allgather(np.asarray([local_size], np.int64))
-    width = int(np.max(sizes))
-    encoded = _encode_rows([tuple(r) for r in local_rows], width)
-    gathered = multihost_utils.process_allgather(encoded)
-    shards = [_decode_rows(gathered[i]) for i in range(gathered.shape[0])]
-    return merge_shard_tables(shards)
+def merge_lines(local_lines: Sequence[str]) -> List[str]:
+    """All-gather per-shard text lines and return the sorted union.
+
+    Used for the --verbose table so multi-host verbose output is
+    byte-identical to single-host, like the plain call table.
+    """
+    count = process_count()
+    if count <= 1 or _env_override() is not None:
+        return sorted(local_lines)
+    shards = _allgather_json(list(local_lines))
+    merged: List[str] = []
+    for shard in shards:
+        merged.extend(shard)
+    return sorted(set(merged))

@@ -33,7 +33,7 @@ from deepbinner_tpu.runner.hostbatch import (  # noqa: F401 — re-exported API
     ExecutorStats,
     build_batch_arrays,
 )
-from deepbinner_tpu.runner.pipeline import CallTable, ClassifyProgram
+from deepbinner_tpu.runner.pipeline import ClassifyProgram
 from deepbinner_tpu.utils import fast5 as fast5_io
 
 

@@ -15,12 +15,12 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 
-from deepbinner_tpu.models.network import DemuxNet, NetworkConfig
+from deepbinner_tpu.models.network import DemuxNet
 from deepbinner_tpu.ops.calling import (
     CallingConfig,
     call_one_end,

@@ -161,6 +161,7 @@ def extract_training_samples(
     margin: int,
     max_edits: int = 5,
     search_bases: int = 400,
+    none_rows: int = 1,
 ) -> List[Tuple[int, np.ndarray]]:
     """All training rows derivable from one read (barcode row + none row).
 
@@ -201,25 +202,38 @@ def extract_training_samples(
             samples.append((index, cut))
         # Mid-read genomic signal is a clean "none" example (far from any
         # barcode) — one per barcoded read keeps class 0 supplied.
-        none_base = len(dwells) // 2
+        none_bases = [len(dwells) // 2]
     else:
-        # No barcode found: the read-start (or read-end) region itself is
-        # the "none" example — adapter+genomic, exactly what classify scans
-        # on a barcode-less read.  Training class 0 on the same positional
-        # distribution as classes 1-12 is what lets the calling thresholds
-        # separate them at inference time.
+        # No barcode found: the read-start (or read-end) region itself
+        # supplies the "none" examples — adapter+genomic, exactly what
+        # classify scans on a barcode-less read.  Classify examines ~13
+        # windows across the whole scan region, so class 0 must cover the
+        # same positional distribution: `none_rows` cuts spread across the
+        # searched bases (single-position none training leaves deeper
+        # windows off-distribution → false-positive barcode calls).
+        limit = max(0, len(dwells) - 30)
         if end == "start":
-            none_base = min(50, max(0, len(dwells) - 30))
+            hi = min(search_bases, limit)
+            none_bases = [
+                min(50 + (i * max(hi - 50, 1)) // max(none_rows, 1), limit)
+                for i in range(max(none_rows, 1))
+            ]
         else:
-            none_base = max(0, len(dwells) - 80)
-    sig_start, sig_end = base_range_to_signal_range(
-        first_sample, dwells, none_base, none_base + 24
-    )
-    cut = _cut_sample(signal, sig_start, sig_end, signal_size, margin)
-    if cut is not None:
-        if end == "end":
-            cut = cut[::-1]
-        samples.append((0, cut))
+            lo = max(0, len(dwells) - search_bases)
+            none_bases = [
+                max(0, len(dwells) - 80 - (i * max(len(dwells) - 80 - lo, 1))
+                    // max(none_rows, 1))
+                for i in range(max(none_rows, 1))
+            ]
+    for none_base in dict.fromkeys(none_bases):  # dedupe, keep order
+        sig_start, sig_end = base_range_to_signal_range(
+            first_sample, dwells, none_base, none_base + 24
+        )
+        cut = _cut_sample(signal, sig_start, sig_end, signal_size, margin)
+        if cut is not None:
+            if end == "end":
+                cut = cut[::-1]
+            samples.append((0, cut))
     return samples
 
 

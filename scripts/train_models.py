@@ -36,7 +36,12 @@ def build_training_rows(kit, end, reads_per_barcode, signal_size, margin, seed):
 
     rng = np.random.default_rng(seed)
     rows = []
-    none_reads = max(reads_per_barcode // 2, 4)
+    # Barcode-less reads match the barcoded count, and each contributes
+    # several "none" cuts spread across the scanned region: classify
+    # examines ~13 windows per read end, so class 0 must cover the same
+    # positional distribution or deep windows false-positive on adapter/
+    # genomic signal (measured round 2).
+    none_reads = max(reads_per_barcode, 4)
     labels = [0] * none_reads + [
         b for b in range(1, 13) for _ in range(reads_per_barcode)
     ]
@@ -47,6 +52,7 @@ def build_training_rows(kit, end, reads_per_barcode, signal_size, margin, seed):
             samples = prep_mod.extract_training_samples(
                 read.signal, read.sequence, move, kit, end,
                 signal_size=signal_size, margin=margin,
+                none_rows=3 if barcode == 0 else 1,
             )
         except ValueError:
             continue

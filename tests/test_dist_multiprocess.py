@@ -32,6 +32,10 @@ print("MERGED:" + json.dumps(merged))
 # File sharding must be disjoint + covering.
 files = [f"f{i}.fast5" for i in range(11)]
 print("SHARD:" + json.dumps(dist.shard_files(files)))
+
+# Verbose lines gather into the identical sorted union on every host.
+lines = [f"read{i:03d}\tbarcode01\t0.99" for i in range(pid, 10, 2)]
+print("LINES:" + json.dumps(dist.merge_lines(lines)))
 """
 
 
@@ -62,12 +66,15 @@ def test_two_process_merge_is_identical(tmp_path):
 
     merged = []
     shards = []
+    lines = []
     for out in outputs:
         for line in out.splitlines():
             if line.startswith("MERGED:"):
                 merged.append(json.loads(line[len("MERGED:"):]))
             if line.startswith("SHARD:"):
                 shards.append(json.loads(line[len("SHARD:"):]))
+            if line.startswith("LINES:"):
+                lines.append(json.loads(line[len("LINES:"):]))
 
     assert len(merged) == 2
     # both processes computed the identical, canonically-sorted union
@@ -79,3 +86,8 @@ def test_two_process_merge_is_identical(tmp_path):
     assert len(shards) == 2
     assert not (set(map(tuple, shards[0])) & set(map(tuple, shards[1])))
     assert len(shards[0]) + len(shards[1]) == 11
+
+    # verbose-line gather: identical sorted union on both hosts
+    assert len(lines) == 2
+    assert lines[0] == lines[1] == sorted(lines[0])
+    assert len(lines[0]) == 10
