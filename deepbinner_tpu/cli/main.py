@@ -154,6 +154,11 @@ def _add_prep_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--signal_size", type=int, default=1600,
                         help="Stored samples per training row (> CNN input for "
                              "random-crop augmentation; default 1600)")
+    parser.add_argument("--assignments",
+                        help="TSV of read_id<TAB>barcode_call from an "
+                             "external demultiplexer (e.g. converted "
+                             "Porechop output); restricts localisation to "
+                             "each read's known barcode")
     parser.add_argument("--margin", type=int, default=200,
                         help="Signal margin around the barcode region (default 200)")
 

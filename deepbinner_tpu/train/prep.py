@@ -162,6 +162,7 @@ def extract_training_samples(
     max_edits: int = 5,
     search_bases: int = 400,
     none_rows: int = 1,
+    known_barcode: Optional[int] = None,
 ) -> List[Tuple[int, np.ndarray]]:
     """All training rows derivable from one read (barcode row + none row).
 
@@ -170,6 +171,13 @@ def extract_training_samples(
     error, which a fixed-width Hamming scan cannot survive.  All kit
     barcodes are scored and the lowest-edit match wins, like the
     reference's best-alignment selection (deepbinner/prep.py :: prep).
+
+    When an external demultiplexer already assigned this read a barcode
+    (the reference's Porechop-output mode — SURVEY.md §2 item 5), pass it
+    as ``known_barcode``: only that barcode is aligned (to find *where* it
+    sits), with a relaxed edit budget since there is no multiple-testing
+    across 12 candidates.  ``known_barcode=0`` forces the read to supply
+    "none" rows only.
     """
     first_sample, dwells = move
     barcodes = barcode_sequences(kit)
@@ -184,10 +192,20 @@ def extract_training_samples(
         offset = max(0, len(sequence) - search_bases)
         search_region = sequence[offset:]
 
+    if known_barcode is not None:
+        candidates = (
+            [] if known_barcode == 0 else
+            [(known_barcode, barcodes[known_barcode - 1])]
+        )
+        budget = max_edits + 2  # single hypothesis → no multiple-testing
+    else:
+        candidates = list(enumerate(barcodes, start=1))
+        budget = max_edits
+
     best: Tuple[int, int, int, int] | None = None  # (edits, index, start, end)
-    for index, barcode in enumerate(barcodes, start=1):
+    for index, barcode in candidates:
         probe = reverse_complement(barcode) if end == "end" else barcode
-        hit = edit_distance_find(search_region, probe, max_edits)
+        hit = edit_distance_find(search_region, probe, budget)
         if hit is not None and (best is None or hit[2] < best[0]):
             best = (hit[2], index, offset + hit[0], offset + hit[1])
     if best is not None:
@@ -250,6 +268,20 @@ def prep(args) -> None:
     }
     log(f"  {len(sequences)} basecalled reads, {len(files)} fast5 files")
 
+    # External assignments (the reference's Porechop-output mode): a TSV of
+    # read_id → barcode call restricts each read's localisation to its
+    # known barcode. Any demultiplexer's output converts to this format.
+    assignments: Optional[Dict[str, int]] = None
+    if getattr(args, "assignments", None):
+        from deepbinner_tpu.utils import table as table_mod
+
+        raw = table_mod.parse_classification_file(args.assignments)
+        assignments = {
+            read_id: table_mod.call_to_class_index(call)
+            for read_id, call in raw.items()
+        }
+        log(f"  {len(assignments)} external barcode assignments loaded")
+
     progress = Progress("reads prepped")
     rows: List[Tuple[int, np.ndarray]] = []
     skipped = 0
@@ -267,10 +299,14 @@ def prep(args) -> None:
             if sequence is None or move is None:
                 skipped += 1
                 continue
+            known = assignments.get(read_id) if assignments is not None else None
+            if assignments is not None and known is None:
+                skipped += 1  # assignments given but this read has none
+                continue
             rows.extend(
                 extract_training_samples(
                     signal, sequence, move, args.kit, args.end,
-                    args.signal_size, args.margin,
+                    args.signal_size, args.margin, known_barcode=known,
                 )
             )
             progress.update()

@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Noise-robustness sweep: demux accuracy under eval-time distribution shift.
+
+The stock models train on the simulator's native noise level; this script
+re-evaluates read-level accuracy with the squiggle noise scaled up at
+*evaluation only* (models unchanged), so the 100%-exact headline numbers
+come with a measured degradation curve instead of a single clean point.
+Reference analog: the paper's accuracy-vs-quality discussion (SURVEY.md §6)
+— the reference has no equivalent script.
+
+Usage: python scripts/eval_robustness.py [--platform cpu] [--kit EXP-NBD103]
+Prints one JSON line per noise level.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--kit", default="EXP-NBD103",
+                        choices=["EXP-NBD103", "SQK-RBK004"])
+    parser.add_argument("--reads-per-barcode", type=int, default=10)
+    parser.add_argument("--seed", type=int, default=31337)
+    parser.add_argument("--levels", type=float, nargs="+",
+                        default=[1.0, 1.5, 2.0, 3.0, 4.0])
+    parser.add_argument("--platform", default="default",
+                        choices=["default", "cpu"])
+    args = parser.parse_args()
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from deepbinner_tpu.models.checkpoint import load_model
+    from deepbinner_tpu.ops.calling import CallingConfig
+    from deepbinner_tpu.ops.preprocess import PreprocessConfig
+    from deepbinner_tpu.runner.executor import classify_stream
+    from deepbinner_tpu.runner.pipeline import ClassifyConfig, ClassifyProgram
+    from deepbinner_tpu.utils import simulate
+
+    model_path = os.path.join(
+        REPO, "deepbinner_tpu", "models", "data",
+        f"{args.kit}_read_starts.dbt",
+    )
+    model, variables, net_cfg, _ = load_model(model_path)
+    pre = PreprocessConfig(window=net_cfg.input_length,
+                           stride=net_cfg.input_length // 2)
+    program = ClassifyProgram(
+        model, ClassifyConfig(pre, CallingConfig(), False), variables
+    )
+    program.warm_up(64)
+
+    base_noise = simulate.SIGNAL_NOISE
+    try:
+        for level in args.levels:
+            simulate.SIGNAL_NOISE = base_noise * level
+            rng = np.random.default_rng(args.seed)
+            reads, truth = [], {}
+            n = args.reads_per_barcode
+            for barcode in list(range(1, 13)) * n + [0] * n:
+                read = simulate.simulate_read(args.kit, barcode, rng,
+                                              genome_length=2000)
+                reads.append((read.read_id, read.signal))
+                truth[read.read_id] = barcode
+            calls = {
+                r.read_id: r.call
+                for r in classify_stream(program, iter(reads), batch_size=64)
+            }
+            total = len(truth)
+            exact = sum(1 for rid, t in truth.items() if calls[rid] == t)
+            barcoded = {r: t for r, t in truth.items() if t}
+            recall = sum(1 for r, t in barcoded.items() if calls[r] == t)
+            wrong = sum(1 for r, t in truth.items() if calls[r] not in (t, 0))
+            print(json.dumps({
+                "kit": args.kit,
+                "noise_x": level,
+                "reads": total,
+                "exact_acc": round(exact / total, 4),
+                "barcode_recall": round(recall / len(barcoded), 4),
+                "wrong_barcode_rate": round(wrong / total, 4),
+            }), flush=True)
+    finally:
+        simulate.SIGNAL_NOISE = base_noise
+
+
+if __name__ == "__main__":
+    main()

@@ -30,11 +30,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def build_training_rows(kit, end, reads_per_barcode, signal_size, margin, seed):
+def build_training_rows(kit, end, reads_per_barcode, signal_size, margin, seed,
+                        noise_jitter=0.0):
     from deepbinner_tpu.train import prep as prep_mod
     from deepbinner_tpu.utils import simulate
 
     rng = np.random.default_rng(seed)
+    base_noise = simulate.SIGNAL_NOISE
     rows = []
     # Barcode-less reads match the barcoded count, and each contributes
     # several "none" cuts spread across the scanned region: classify
@@ -46,6 +48,13 @@ def build_training_rows(kit, end, reads_per_barcode, signal_size, margin, seed):
         b for b in range(1, 13) for _ in range(reads_per_barcode)
     ]
     for barcode in labels:
+        if noise_jitter > 0:
+            # Noise-diverse training: vary the squiggle noise per read so
+            # the model's accuracy degrades gracefully off-distribution
+            # (scripts/eval_robustness.py measures the resulting margin).
+            simulate.SIGNAL_NOISE = base_noise * float(
+                rng.uniform(1.0, 1.0 + noise_jitter)
+            )
         read = simulate.simulate_read(kit, barcode, rng, genome_length=2000)
         move = (read.signal_start_of_bases, read.dwells)
         try:
@@ -59,6 +68,7 @@ def build_training_rows(kit, end, reads_per_barcode, signal_size, margin, seed):
         for label, signal in samples:
             if (label == 0) == (barcode == 0):
                 rows.append((label, signal))
+    simulate.SIGNAL_NOISE = base_noise
     return rows
 
 
@@ -114,6 +124,9 @@ def main():
     parser.add_argument("--batch-size", type=int, default=256)
     parser.add_argument("--learning-rate", type=float, default=2e-3)
     parser.add_argument("--aug-factor", type=int, default=2)
+    parser.add_argument("--noise-jitter", type=float, default=1.0,
+                        help="train-time squiggle-noise diversity: per-read "
+                             "noise scale drawn from U(1, 1+j); 0 disables")
     parser.add_argument("--size", default="full", choices=["full", "tiny"])
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--out", default=None)
@@ -155,6 +168,7 @@ def main():
         rows = build_training_rows(
             args.kit, args.end, args.reads_per_barcode,
             signal_size, margin=window // 8, seed=args.seed,
+            noise_jitter=args.noise_jitter,
         )
         signals = np.stack([r[1] for r in rows]).astype(np.float32)
         labels = np.asarray([r[0] for r in rows], np.int32)

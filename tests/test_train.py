@@ -170,6 +170,42 @@ def test_prep_multi_read_fast5_move_tables(tmp_path):
     assert {1, 2, 3}.issubset(labels)  # every barcoded read yielded a sample
 
 
+def test_prep_external_assignments(tmp_path):
+    """--assignments (Porechop-output mode): localisation is restricted to
+    each read's externally-assigned barcode; unassigned reads are skipped."""
+    from deepbinner_tpu.cli.main import main
+    from deepbinner_tpu.utils import fast5 as fast5_io
+
+    rng = np.random.default_rng(12)
+    reads, moves, fastq, assign = [], {}, [], []
+    for barcode in [1, 2, 3, 4]:
+        read = simulate.simulate_read("EXP-NBD103", barcode, rng,
+                                      genome_length=300, open_pore_length=50)
+        reads.append((read.read_id, read.signal))
+        moves[read.read_id] = (read.signal_start_of_bases, read.dwells)
+        fastq.append(f"@{read.read_id}\n{read.sequence}\n+\n"
+                     f"{'I' * len(read.sequence)}\n")
+        if barcode <= 3:  # read 4 gets no assignment → skipped
+            # deliberately assign read 3 as "none": it must yield only class-0
+            call = "none" if barcode == 3 else f"barcode{barcode:02d}"
+            assign.append(f"{read.read_id}\t{call}")
+    f5_dir = tmp_path / "fast5s"
+    f5_dir.mkdir()
+    fast5_io.write_multi_read_fast5(f5_dir / "b.fast5", reads, moves)
+    (tmp_path / "reads.fastq").write_text("".join(fastq))
+    (tmp_path / "assign.tsv").write_text("\n".join(assign) + "\n")
+
+    out = tmp_path / "train.tsv"
+    main(["prep", str(f5_dir), "--kit", "EXP-NBD103", "--end", "start",
+          "--reads", str(tmp_path / "reads.fastq"), "--out", str(out),
+          "--signal_size", "512", "--margin", "64",
+          "--assignments", str(tmp_path / "assign.tsv")])
+    labels = [int(line.split("\t")[0]) for line in out.read_text().splitlines()]
+    assert 1 in labels and 2 in labels      # assigned barcodes localised
+    assert 4 not in labels                  # unassigned read skipped
+    assert 3 not in labels and 0 in labels  # "none" assignment → class 0 only
+
+
 def test_balance_equalises(tmp_path):
     rows = []
     rng = np.random.default_rng(0)
