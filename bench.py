@@ -83,17 +83,21 @@ def _build_program(use_pallas: bool, dual: bool):
     from deepbinner_tpu.ops.preprocess import PreprocessConfig
     from deepbinner_tpu.runner.pipeline import ClassifyConfig, ClassifyProgram
 
-    model, variables, _net = load_flagship()
+    model, variables, net_cfg = load_flagship()
     end_vars = None
+    end_model = None
     if dual:
-        _end_model, end_vars, _cfg = load_flagship(END_MODEL_FILE)
+        end_model, end_vars, end_cfg = load_flagship(END_MODEL_FILE)
+        if end_cfg != net_cfg:
+            raise ValueError("start and end models have different architectures")
     cfg = ClassifyConfig(
         preprocess=PreprocessConfig(),  # flagship geometry: 6144/1024/512
         calling=CallingConfig(),
         dual_model=dual,
         use_pallas=use_pallas,
     )
-    return ClassifyProgram(model, cfg, variables, end_vars), cfg
+    return ClassifyProgram(model, cfg, variables, end_vars,
+                           end_model=end_model), cfg
 
 
 def measure_tpu(fast5_dir: str, batch_size: int, reader_workers: int,

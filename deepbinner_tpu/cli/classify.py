@@ -192,49 +192,80 @@ class StreamRunner:
             self.pool.close()
 
 
+def _run_fingerprint(args, program) -> str:
+    """Identity of everything that determines a shard's calls.
+
+    Covers the exact model *weights* (file hashes) and the full static
+    classify config — resuming with a different model or thresholds must
+    never merge stale shards into the output.
+    """
+    import hashlib
+
+    hasher = hashlib.sha256()
+    for path in [args.start_model, getattr(args, "end_model", None)]:
+        if path:
+            with open(path, "rb") as handle:
+                hasher.update(hashlib.sha256(handle.read()).digest())
+    hasher.update(repr(program.cfg).encode())
+    return hasher.hexdigest()
+
+
 def _classify_resumable(
     runner: "StreamRunner",
     files: List[str],
     shard_dir: str,
     shard_files: int,
     progress: Progress,
-) -> List[Tuple[str, str]]:
+    fingerprint: str,
+) -> Tuple[List[Tuple[str, str]], int]:
     """Classify in work shards with atomic per-shard TSVs + skip-on-rerun.
 
     The work-shard partition is a pure function of the sorted file list
     (SURVEY.md §5 checkpoint/resume row): shard k = files[k*N:(k+1)*N].  A
-    manifest pins the input set so stale shard tables can never leak into a
-    different run's output.  Finished shards are loaded, not reclassified —
-    kill-and-rerun converges to the same merged table byte-for-byte.
+    per-host manifest pins the input set, the model weights, and the
+    calling config, so stale shard tables can never leak into a different
+    run's output.  Shard files are namespaced by process index, so a
+    multi-host run may share one --shard_dir on common storage.  Finished
+    shards are loaded, not reclassified — kill-and-rerun converges to the
+    same merged table byte-for-byte.  Returns (rows, resumed_read_count).
     """
     import hashlib
     import json
 
+    from deepbinner_tpu.parallel import dist
+
+    host = dist.process_index()
     ordered = sorted(files)
     digest = hashlib.sha256("\n".join(ordered).encode()).hexdigest()
     os.makedirs(shard_dir, exist_ok=True)
-    manifest_path = os.path.join(shard_dir, "manifest.json")
+    manifest_path = os.path.join(shard_dir, f"manifest_h{host:04d}.json")
     manifest = {"input_sha256": digest, "shard_files": shard_files,
-                "n_files": len(ordered)}
+                "n_files": len(ordered), "run_fingerprint": fingerprint,
+                "process_count": dist.process_count()}
     if os.path.exists(manifest_path):
         with open(manifest_path) as handle:
             found = json.load(handle)
         if found != manifest:
             quit_with_error(
-                f"{shard_dir} holds shards for a different input set/config "
-                f"({found} != {manifest}); use a fresh --shard_dir"
+                f"{shard_dir} holds shards for a different input set, model, "
+                f"or config ({found} != {manifest}); use a fresh --shard_dir"
             )
     else:
         table.write_rows_atomic(manifest_path, [json.dumps(manifest)])
 
     rows: List[Tuple[str, str]] = []
-    resumed = 0
+    resumed_reads = 0
+    resumed_files = 0
     for k in range(0, len(ordered), shard_files):
         chunk = ordered[k : k + shard_files]
-        shard_path = os.path.join(shard_dir, f"shard_{k // shard_files:06d}.tsv")
+        shard_path = os.path.join(
+            shard_dir, f"shard_h{host:04d}_{k // shard_files:06d}.tsv"
+        )
         if os.path.exists(shard_path):
-            rows.extend(table.parse_classification_file(shard_path).items())
-            resumed += len(chunk)
+            parsed = list(table.parse_classification_file(shard_path).items())
+            rows.extend(parsed)
+            resumed_reads += len(parsed)
+            resumed_files += len(chunk)
             continue
         shard_rows = []
         for result in runner.classify(chunk):
@@ -247,9 +278,10 @@ def _classify_resumable(
             shard_path, (table.format_row(r, c) for r, c in shard_rows)
         )
         rows.extend(shard_rows)
-    if resumed:
-        log(f"  resumed: {resumed} file(s) already classified in {shard_dir}")
-    return rows
+    if resumed_files:
+        log(f"  resumed: {resumed_files} file(s) / {resumed_reads} read(s) "
+            f"already classified in {shard_dir}")
+    return rows, resumed_reads
 
 
 def classify_fast5_files(args) -> None:
@@ -280,12 +312,14 @@ def classify_fast5_files(args) -> None:
     verbose_rows: List[str] = []
 
     runner = StreamRunner(program, args, stats)
+    resumed_reads = 0
     try:
         with profile:
             if shard_dir:
-                local_rows = _classify_resumable(
+                local_rows, resumed_reads = _classify_resumable(
                     runner, shard, shard_dir,
                     int(getattr(args, "shard_files", 0) or 256), progress,
+                    _run_fingerprint(args, program),
                 )
             else:
                 for result in runner.classify(shard):
@@ -300,7 +334,9 @@ def classify_fast5_files(args) -> None:
     elapsed = progress.finish()
     if stats.failed_files:
         log(f"  skipped {stats.failed_files} unreadable file(s)")
-    log(f"  throughput: {stats.reads / max(elapsed, 1e-9):.1f} reads/s (this host)")
+    log(f"  throughput: {stats.reads / max(elapsed, 1e-9):.1f} reads/s "
+        f"(this host; {stats.reads} classified"
+        + (f" + {resumed_reads} resumed" if resumed_reads else "") + ")")
 
     if args.verbose:
         # Verbose rows are gathered and sorted like the plain table, so

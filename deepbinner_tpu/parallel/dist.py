@@ -155,7 +155,9 @@ def merge_lines(local_lines: Sequence[str]) -> List[str]:
     """
     count = process_count()
     if count <= 1 or _env_override() is not None:
-        return sorted(local_lines)
+        # set() to match the multi-host path exactly: duplicate rows (e.g. a
+        # copied fast5) must collapse identically at every host count.
+        return sorted(set(local_lines))
     shards = _allgather_json(list(local_lines))
     merged: List[str] = []
     for shard in shards:

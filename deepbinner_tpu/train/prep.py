@@ -276,11 +276,19 @@ def prep(args) -> None:
         from deepbinner_tpu.utils import table as table_mod
 
         raw = table_mod.parse_classification_file(args.assignments)
-        assignments = {
-            read_id: table_mod.call_to_class_index(call)
-            for read_id, call in raw.items()
-        }
-        log(f"  {len(assignments)} external barcode assignments loaded")
+        assignments = {}
+        unrecognised = 0
+        for read_id, call in raw.items():
+            try:
+                assignments[read_id] = table_mod.call_to_class_index(call)
+            except ValueError:
+                # Foreign vocab ("unclassified", out-of-kit barcodes, …):
+                # treat as not-assigned, matching the skip semantics of
+                # reads absent from the table entirely.
+                unrecognised += 1
+        log(f"  {len(assignments)} external barcode assignments loaded"
+            + (f" ({unrecognised} unrecognised call(s) ignored)"
+               if unrecognised else ""))
 
     progress = Progress("reads prepped")
     rows: List[Tuple[int, np.ndarray]] = []

@@ -261,19 +261,27 @@ class Trainer:
         return {"params": state.params, "batch_stats": state.batch_stats}
 
 
-def iter_epoch_batches(epoch_order: np.ndarray, batch_size: int):
+def iter_epoch_batches(epoch_order: np.ndarray, batch_size: int,
+                       rng: Optional[np.random.Generator] = None):
     """Yield (indices, weights) batches covering every index exactly once.
 
-    The final partial batch is padded to `batch_size` by repeating its last
-    index with weight 0 — one compiled batch shape, no dropped samples.
+    The final partial batch is padded to `batch_size` with weight-0 rows —
+    one compiled batch shape, no dropped samples.  Padding rows are drawn
+    at random from the epoch (not one repeated index): weight 0 masks them
+    out of the loss, but BatchNorm's batch statistics still see every row,
+    and a single sample repeated batch_size-1 times would skew the running
+    stats; a random resample keeps them representative.
     """
+    if rng is None:
+        rng = np.random.default_rng(0)
     for start in range(0, len(epoch_order), batch_size):
         idx = epoch_order[start : start + batch_size]
         weights = np.ones((batch_size,), np.float32)
         if len(idx) < batch_size:
             pad = batch_size - len(idx)
             weights[len(idx):] = 0.0
-            idx = np.concatenate([idx, np.repeat(idx[-1:], pad)])
+            filler = rng.choice(epoch_order, size=pad)
+            idx = np.concatenate([idx, filler])
         yield idx, weights
 
 
@@ -311,7 +319,8 @@ def train_loop(
         t0 = time.monotonic()
         epoch_order = rng.permutation(np.repeat(train_idx, aug_factor))
         losses = []
-        for batch_idx, weights in iter_epoch_batches(epoch_order, batch_size):
+        for batch_idx, weights in iter_epoch_batches(epoch_order, batch_size,
+                                                     rng=rng):
             metrics = trainer.run_train_step(
                 signals[batch_idx], labels[batch_idx], weights
             )

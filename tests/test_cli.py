@@ -86,6 +86,14 @@ def test_classify_shard_resume(dataset, tiny_model, capsys, tmp_path):
     with pytest.raises(SystemExit):
         _classify(root, tiny_model, capsys,
                   extra=("--shard_dir", str(shard_dir), "--shard_files", "3"))
+    # ...and so must a different model: the manifest fingerprints the
+    # weights + config, or stale shards would silently mix models.
+    other_model = str(shards[0].parent.parent / "other.dbt")
+    _, other_vars = init_params(jax.random.PRNGKey(9), TINY_NET)
+    save_model(other_model, TINY_NET, other_vars,
+               {"kit": "EXP-NBD103", "end": "start"})
+    with pytest.raises(SystemExit):
+        _classify(root, other_model, capsys, extra=extra)
 
 
 def test_classify_verbose_scores(dataset, tiny_model, capsys):
