@@ -167,3 +167,24 @@ def test_unsupported_layer_is_loud(tmp_path):
     imported, variables, _c, _m = load_keras_model(path)
     with pytest.raises(ValueError, match="unsupported Keras layer"):
         imported.apply(variables, np.zeros((1, 16, 1), np.float32))
+
+
+def test_classify_cli_with_keras_model(saved_model, tmp_path, capsys):
+    """The classify CLI accepts a reference-style Keras-HDF5 model file
+    end to end (drop-in for the reference's shipped models)."""
+    from deepbinner_tpu.cli.main import main
+    from deepbinner_tpu.utils import simulate, table
+
+    _model, path = saved_model
+    truth = simulate.make_dataset(
+        tmp_path, kit="EXP-NBD103", reads_per_barcode=1, none_reads=1,
+        genome_length=400, seed=17, write_fastq=False,
+    )
+    main(["classify", str(tmp_path / "fast5s"), "-s", path,
+          "--scan_size", "192", "--batch_size", "8"])
+    out = capsys.readouterr().out
+    lines = [l for l in out.splitlines() if l]
+    assert lines[0].startswith(table.HEADER_PREFIX)
+    calls = dict(l.split("\t")[:2] for l in lines[1:])
+    # untrained keras weights → calls are arbitrary but present for every read
+    assert set(calls) == set(truth)

@@ -102,3 +102,9 @@ def test_classify_e2e_over_pod5(tmp_path, capsys):
         if line and not line.startswith("read_ID")
     )
     assert set(calls) == set(truth)
+
+    # A single .pod5 FILE is also a valid input (like a single .fast5).
+    main(["classify", str(pod5_dir / "all_reads.pod5"), "-s", str(model_path),
+          "--scan_size", "768", "--batch_size", "8"])
+    single = capsys.readouterr().out
+    assert single == out
