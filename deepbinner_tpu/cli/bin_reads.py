@@ -28,6 +28,17 @@ def bin_reads(args) -> None:
 
     section("Binning reads")
     calls = table.parse_classification_file(args.classes)
+    # Validate every call up front: call strings become output FILENAMES, so
+    # a corrupt/hand-edited table must fail loudly here, not scatter files
+    # (or escape out_dir via a path-like "call").
+    for read_id, call in calls.items():
+        try:
+            table.call_to_class_index(call)
+        except ValueError:
+            quit_with_error(
+                f"{args.classes}: unrecognised barcode call {call!r} for "
+                f"read {read_id!r} (expected none/barcode01..12)"
+            )
     log(f"  {len(calls)} classified reads in {args.classes}")
 
     fmt = seqio.detect_read_format(args.reads)
@@ -49,8 +60,10 @@ def bin_reads(args) -> None:
             counts[call] = 0
         return handles[call]
 
+    records = (seqio.iterate_fastq(args.reads) if fmt == "fastq"
+               else seqio.iterate_fasta(args.reads))  # fmt already detected
     try:
-        for record in seqio.iterate_reads(args.reads):
+        for record in records:
             call = calls.get(record[0])
             if call is None:
                 call = table.NONE_CALL

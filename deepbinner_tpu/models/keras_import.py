@@ -113,9 +113,20 @@ class KerasGraphModel:
             if layer["class_name"] == "Dense":
                 classes = int(layer["config"]["units"])
                 break
-        return KerasModelConfig(
-            input_length=input_length or 1024, num_classes=classes or 13
-        )
+        # No silent guessing: the CNN window size comes from this value
+        # (cli/classify.py sizes the preprocess window from it), so a
+        # variable-length or shapeless input would classify with wrongly
+        # sized windows without any shape error downstream.
+        if input_length is None:
+            raise ValueError(
+                "Keras model declares no fixed input length "
+                "(batch_input_shape[1] is None/absent in every layer); "
+                "cannot size the classify windows from it"
+            )
+        if classes is None:
+            raise ValueError("Keras model has no final Dense layer; cannot "
+                             "determine the class count")
+        return KerasModelConfig(input_length=input_length, num_classes=classes)
 
     def _layer_fn(
         self, layer: Dict[str, Any], weights: Dict[str, Dict[str, np.ndarray]]

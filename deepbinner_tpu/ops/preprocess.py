@@ -81,19 +81,39 @@ def _rolling_std(x: jnp.ndarray, window: int, stride: int) -> jnp.ndarray:
     return jnp.sqrt(var)
 
 
-def find_signal_start(region: jnp.ndarray, cfg: PreprocessConfig) -> jnp.ndarray:
-    """Index where real read signal begins within `region` (..., trim_scan).
+def find_signal_start(
+    region: jnp.ndarray, valid: jnp.ndarray, cfg: PreprocessConfig
+) -> jnp.ndarray:
+    """Index where real read signal begins within `region` (B, trim_scan).
 
     Open-pore / stall current is flat (low variance) compared to strand
     translocation signal; the first rolling window whose std exceeds
     ``trim_threshold`` × the region's global std marks the start.  Returns 0
     when nothing exceeds the threshold (nothing to trim — matches the
     reference's "give up and keep the signal" behaviour).
+
+    ``valid`` is the per-row count of genuine samples in `region` (samples
+    past it are zero padding).  Both the global std and the candidate
+    windows are restricted to the valid samples: the signal→zero-pad
+    boundary step otherwise reads as a huge-variance "signal start" and
+    trims genuine leading samples from every read shorter than the trim
+    scan (host-side parity oracle: utils.torch_baseline.preprocess_read,
+    which operates on the unpadded signal).
     """
     region = region.astype(jnp.float32)
-    global_std = jnp.std(region, axis=-1, keepdims=True)
+    t = region.shape[-1]
+    valid = jnp.clip(valid, 0, t)[:, None].astype(jnp.float32)
+    mask = jnp.arange(t)[None, :] < valid
+    masked = region * mask  # (padding is already zero; explicit for safety)
+    denom = jnp.maximum(valid, 1.0)
+    mean = jnp.sum(masked, axis=-1, keepdims=True) / denom
+    var = jnp.sum(masked * masked, axis=-1, keepdims=True) / denom - mean * mean
+    global_std = jnp.sqrt(jnp.maximum(var, 0.0))
     win_std = _rolling_std(region, cfg.trim_window, cfg.trim_stride)
-    good = win_std >= cfg.trim_threshold * global_std
+    n_out = win_std.shape[-1]
+    win_end = (jnp.arange(n_out) * cfg.trim_stride + cfg.trim_window)[None, :]
+    in_valid = win_end <= valid  # windows straddling the pad boundary excluded
+    good = (win_std >= cfg.trim_threshold * global_std) & in_valid
     any_good = jnp.any(good, axis=-1)
     first = jnp.argmax(good, axis=-1)  # first True (argmax of bool)
     return jnp.where(any_good, first * cfg.trim_stride, 0).astype(jnp.int32)
@@ -131,7 +151,9 @@ def extract_scan_region(
     signal = signal * mask  # zero out padding so stats ignore garbage scale
 
     trim_region = signal[:, : cfg.trim_scan]
-    trim_pos = find_signal_start(trim_region, cfg)
+    trim_pos = find_signal_start(
+        trim_region, jnp.minimum(lengths, cfg.trim_scan), cfg
+    )
     # Never trim so far that fewer than `window` samples remain.
     max_trim = jnp.maximum(lengths - cfg.window, 0)
     trim_pos = jnp.minimum(trim_pos, max_trim).astype(jnp.int32)

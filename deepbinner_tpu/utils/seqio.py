@@ -55,19 +55,20 @@ def iterate_fastq(path: str | os.PathLike) -> Iterator[SeqRecord]:
             header = handle.readline()
             if not header:
                 return
-            header = header.rstrip("\n")
+            header = header.rstrip("\r\n")
             if not header:
                 continue
             if not header.startswith("@"):
                 raise ValueError(f"bad fastq header in {path}: {header!r}")
-            seq = handle.readline().rstrip("\n")
+            seq = handle.readline().rstrip("\r\n")
             plus = handle.readline()
             if not plus.startswith("+"):
                 raise ValueError(f"bad fastq separator in {path}: {plus!r}")
-            quals = handle.readline().rstrip("\n")
+            quals = handle.readline().rstrip("\r\n")
             if len(quals) != len(seq):
                 raise ValueError(f"fastq length mismatch in {path} for {header!r}")
-            name = header[1:].split()[0] if len(header) > 1 else ""
+            tokens = header[1:].split()
+            name = tokens[0] if tokens else ""
             yield name, header[1:], seq, quals
 
 
@@ -75,14 +76,15 @@ def iterate_fasta(path: str | os.PathLike) -> Iterator[SeqRecord]:
     with _open_maybe_gzip(path) as handle:
         name, header, chunks = None, None, []
         for line in handle:
-            line = line.rstrip("\n")
+            line = line.rstrip("\r\n")
             if not line:
                 continue
             if line.startswith(">"):
                 if name is not None:
                     yield name, header, "".join(chunks), None
                 header = line[1:]
-                name = header.split()[0] if header else ""
+                tokens = header.split()
+                name = tokens[0] if tokens else ""
                 chunks = []
             else:
                 if name is None:

@@ -193,3 +193,16 @@ def test_simulate_command(tmp_path, capsys):
     main(["simulate", str(tmp_path / "sim"), "--reads_per_barcode", "0",
           "--none_reads", "3", "--genome_length", "200"])
     assert (tmp_path / "sim" / "truth.tsv").exists()
+
+
+def test_bin_rejects_corrupt_call_strings(tmp_path, capsys):
+    """Call strings become output filenames — garbage must fail loudly."""
+    reads = tmp_path / "r.fastq"
+    reads.write_text("@read1\nACGT\n+\n!!!!\n")
+    classes = tmp_path / "calls.tsv"
+    classes.write_text("read1\t../escape\n")
+    with pytest.raises(SystemExit):
+        main(["bin", "--classes", str(classes), "--reads", str(reads),
+              "--out_dir", str(tmp_path / "bins")])
+    capsys.readouterr()
+    assert not (tmp_path / "bins" / "..").exists()

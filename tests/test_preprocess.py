@@ -35,14 +35,43 @@ def test_find_signal_start_detects_open_pore(rng):
     flat = np.full(300, 550.0) + rng.normal(0, 1.0, 300)
     real = 450 + 60 * rng.normal(size=212)
     region = jnp.asarray(np.concatenate([flat, real])[None, :])
-    start = np.asarray(find_signal_start(region, SMALL))[0]
+    start = np.asarray(find_signal_start(region, jnp.asarray([512]), SMALL))[0]
     assert 200 <= start <= 310  # lands at/near the transition
 
 
 def test_find_signal_start_no_trim_when_all_signal(rng):
     region = jnp.asarray(450 + 60 * rng.normal(size=(1, 512)))
-    start = np.asarray(find_signal_start(region, SMALL))[0]
+    start = np.asarray(find_signal_start(region, jnp.asarray([512]), SMALL))[0]
     assert start <= 32  # uniform signal: nothing to trim
+
+
+def test_short_read_pad_boundary_not_trimmed(rng):
+    """The signal→zero-pad step must never read as a 'signal start'.
+
+    A clean short read (window < length < trim_scan) of pure strand signal
+    has nothing to trim; the padding boundary's variance spike previously
+    trimmed genuine leading samples (round-2 review finding, verified).
+    """
+    cfg = SMALL
+    length = 400  # < trim_scan=512
+    sig = np.zeros((1, cfg.buffer_size), np.float32)
+    sig[0, :length] = 450 + 60 * rng.normal(size=length)
+    region, valid = extract_scan_region(
+        jnp.asarray(sig), jnp.asarray([length]), cfg
+    )
+    region, valid = np.asarray(region), np.asarray(valid)
+    assert valid[0] == length  # trim_pos == 0: nothing was cut
+    np.testing.assert_array_equal(region[0, :length], sig[0, :length])
+
+    # And a short read WITH a real open-pore stall still gets trimmed.
+    sig2 = np.zeros((1, cfg.buffer_size), np.float32)
+    sig2[0, :150] = 550 + 1.0 * rng.normal(size=150)       # flat stall
+    sig2[0, 150:420] = 450 + 60 * rng.normal(size=270)     # strand signal
+    _region2, valid2 = extract_scan_region(
+        jnp.asarray(sig2), jnp.asarray([420]), cfg
+    )
+    trim2 = 420 - int(np.asarray(valid2)[0])
+    assert 96 <= trim2 <= 160  # lands at/near the stall→strand transition
 
 
 def test_extract_scan_region_shapes(rng):

@@ -75,3 +75,26 @@ def test_merge_shards_deterministic():
     # conflicting duplicate calls are an error
     with pytest.raises(ValueError):
         table.merge_shard_tables([[("r1", "barcode01")], [("r1", "barcode02")]])
+
+
+def test_crlf_files_parse_clean(tmp_path):
+    """Windows line endings must not leak '\r' into sequences/qualities."""
+    from deepbinner_tpu.utils import seqio
+
+    fq = tmp_path / "crlf.fastq"
+    fq.write_bytes(b"@read1 extra\r\nACGT\r\n+\r\n!!!!\r\n")
+    ((name, header, seq, quals),) = list(seqio.iterate_fastq(fq))
+    assert (name, seq, quals) == ("read1", "ACGT", "!!!!")
+    fa = tmp_path / "crlf.fasta"
+    fa.write_bytes(b">read2\r\nACGT\r\nTTAA\r\n")
+    ((name2, _h, seq2, _q),) = list(seqio.iterate_fasta(fa))
+    assert (name2, seq2) == ("read2", "ACGTTTAA")
+
+
+def test_whitespace_only_header_does_not_crash(tmp_path):
+    from deepbinner_tpu.utils import seqio
+
+    fq = tmp_path / "ws.fastq"
+    fq.write_bytes(b"@ \nAC\n+\n!!\n")
+    ((name, _h, seq, _q),) = list(seqio.iterate_fastq(fq))
+    assert name == "" and seq == "AC"
