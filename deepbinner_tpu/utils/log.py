@@ -53,7 +53,8 @@ def error(message: str) -> None:
     log(f"{RED}Error: {message}{END}")
 
 
-def quit_with_error(message: str) -> "SystemExit":
+def quit_with_error(message: str) -> "NoReturn":  # noqa: F821 - typing.NoReturn
+    """Print an error and exit(1).  Never returns — call it bare, no `raise`."""
     error(message)
     raise SystemExit(1)
 

@@ -8,6 +8,7 @@ import socket
 import subprocess
 import sys
 
+import jax
 import pytest
 
 _WORKER = r"""
@@ -91,3 +92,97 @@ def test_two_process_merge_is_identical(tmp_path):
     assert len(lines) == 2
     assert lines[0] == lines[1] == sorted(lines[0])
     assert len(lines[0]) == 10
+
+
+# The full classify CLI inside a jax.distributed process group.  The worker
+# forces the CPU platform *after* importing jax (the axon sitecustomize
+# overrides JAX_PLATFORMS from inside register(); see CLAUDE.md) and then
+# runs the production entry point unmodified — `main` itself calls
+# dist.maybe_initialize() from the JAX_COORDINATOR_ADDRESS env vars, exactly
+# as a real pod launch would.
+_CLASSIFY_WORKER = r"""
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+from deepbinner_tpu.cli.main import main
+main(["classify", sys.argv[1], "-s", sys.argv[2],
+      "--scan_size", "768", "--batch_size", "8"])
+"""
+
+
+def test_two_process_classify_e2e_matches_single_process(tmp_path):
+    """Each of 2 jax.distributed processes builds a ClassifyProgram over its
+    LOCAL 2-device mesh (4 global devices — the round-2 VERDICT crash case),
+    classifies its file shard, and host 0's merged table is byte-identical
+    to a single-process run."""
+    from deepbinner_tpu.models.checkpoint import save_model
+    from deepbinner_tpu.models.network import NetworkConfig, init_params
+    from deepbinner_tpu.utils import simulate
+
+    net = NetworkConfig(
+        input_length=256, stem_features=8, block_features=(8,),
+        inception_features=(16,), head_features=16,
+    )
+    root = tmp_path / "ds"
+    simulate.make_dataset(root, kit="EXP-NBD103", reads_per_barcode=1,
+                          none_reads=2, genome_length=600, seed=23)
+    model_path = str(tmp_path / "starts.dbt")
+    _, variables = init_params(jax.random.PRNGKey(0), net)
+    save_model(model_path, net, variables, {"kit": "EXP-NBD103", "end": "start"})
+    fast5_dir = str(root / "fast5s")
+
+    base_env = dict(os.environ)
+    base_env["JAX_PLATFORMS"] = "cpu"
+    # 2 LOCAL devices per process: build_program must construct its mesh from
+    # jax.local_devices(), or device_put onto non-addressable devices throws.
+    base_env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    base_env["PYTHONPATH"] = os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))
+    for var in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+                "JAX_PROCESS_ID", "DEEPBINNER_TPU_PROCESS_INDEX",
+                "DEEPBINNER_TPU_PROCESS_COUNT"):
+        base_env.pop(var, None)
+
+    def run(extra_env):
+        env = dict(base_env)
+        env.update(extra_env)
+        return subprocess.Popen(
+            [sys.executable, "-c", _CLASSIFY_WORKER, fast5_dir, model_path],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True,
+        )
+
+    single_proc = run({})
+    single_out, single_err = single_proc.communicate(timeout=300)
+    assert single_proc.returncode == 0, f"single failed:\n{single_err[-3000:]}"
+    assert single_out.count("\n") >= 15  # header + 14 reads
+
+    coordinator = f"localhost:{_free_port()}"
+    procs = [
+        run({
+            "JAX_COORDINATOR_ADDRESS": coordinator,
+            "JAX_NUM_PROCESSES": "2",
+            "JAX_PROCESS_ID": str(pid),
+        })
+        for pid in range(2)
+    ]
+    def strip_gloo(out: str) -> str:
+        # jax's CPU collectives (Gloo) print connection banners on *stdout*.
+        return "".join(
+            line for line in out.splitlines(keepends=True)
+            if not line.startswith("[Gloo]")
+        )
+
+    outputs = []
+    for proc in procs:
+        out, err = proc.communicate(timeout=300)
+        assert proc.returncode == 0, f"dist worker failed:\n{err[-3000:]}"
+        outputs.append((strip_gloo(out), err))
+
+    # both processes classified a non-empty shard (the work really split)
+    # over a real LOCAL 2-device data-parallel mesh (the fixed code path)
+    for _, err in outputs:
+        assert "this host: " in err
+        assert "data-parallel over 2 device(s)" in err
+    # only host 0 emits the table, and it is byte-identical to single-process
+    assert outputs[1][0] == ""
+    assert outputs[0][0] == single_out
