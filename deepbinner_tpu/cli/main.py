@@ -156,9 +156,16 @@ def _add_prep_args(parser: argparse.ArgumentParser) -> None:
                              "random-crop augmentation; default 1600)")
     parser.add_argument("--assignments",
                         help="TSV of read_id<TAB>barcode_call from an "
-                             "external demultiplexer (e.g. converted "
-                             "Porechop output); restricts localisation to "
-                             "each read's known barcode")
+                             "external demultiplexer; restricts "
+                             "localisation to each read's known barcode")
+    parser.add_argument("--porechop",
+                        help="Porechop barcode-bin output directory (-b): "
+                             "BC01.fastq[.gz] … none.fastq[.gz]; parsed "
+                             "into per-read barcode assignments")
+    parser.add_argument("--synthetic_barcodes", action="store_true",
+                        help="Localise the simulator's synthetic barcode "
+                             "sequences instead of the real ONT kit "
+                             "sequences (tests/simulated legacy data only)")
     parser.add_argument("--margin", type=int, default=200,
                         help="Signal margin around the barcode region (default 200)")
 
@@ -200,6 +207,9 @@ def _add_simulate_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--none_reads", type=int, default=4)
     parser.add_argument("--genome_length", type=int, default=2000)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--synthetic_barcodes", action="store_true",
+                        help="Use seeded random barcode sequences instead "
+                             "of the real ONT kit sequences")
 
 
 def main(argv: Optional[List[str]] = None) -> None:
@@ -238,6 +248,7 @@ def main(argv: Optional[List[str]] = None) -> None:
             reads_per_barcode=args.reads_per_barcode,
             none_reads=args.none_reads,
             genome_length=args.genome_length, seed=args.seed,
+            synthetic=args.synthetic_barcodes,
         )
         from deepbinner_tpu.utils.log import log
         log(f"wrote {len(truth)} simulated reads to {args.out_dir}")

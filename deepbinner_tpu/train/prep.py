@@ -163,6 +163,7 @@ def extract_training_samples(
     search_bases: int = 400,
     none_rows: int = 1,
     known_barcode: Optional[int] = None,
+    synthetic_barcodes: bool = False,
 ) -> List[Tuple[int, np.ndarray]]:
     """All training rows derivable from one read (barcode row + none row).
 
@@ -180,7 +181,7 @@ def extract_training_samples(
     "none" rows only.
     """
     first_sample, dwells = move
-    barcodes = barcode_sequences(kit)
+    barcodes = barcode_sequences(kit, synthetic=synthetic_barcodes)
     samples: List[Tuple[int, np.ndarray]] = []
 
     if end == "start":
@@ -221,6 +222,13 @@ def extract_training_samples(
         # Mid-read genomic signal is a clean "none" example (far from any
         # barcode) — one per barcoded read keeps class 0 supplied.
         none_bases = [len(dwells) // 2]
+    elif known_barcode not in (None, 0):
+        # An external demultiplexer says this read HAS a barcode, but we
+        # could not localise it — the read-start region very likely still
+        # contains barcode signal, so cutting "none" rows from it would
+        # contaminate class 0 with barcode-bearing squiggle.  Skip the read
+        # entirely (round-2 ADVICE, severity medium).
+        return samples
     else:
         # No barcode found: the read-start (or read-end) region itself
         # supplies the "none" examples — adapter+genomic, exactly what
@@ -255,6 +263,55 @@ def extract_training_samples(
     return samples
 
 
+def parse_porechop_bins(bin_dir: str) -> Dict[str, int]:
+    """Read Porechop's ``-b`` output directory into read_id → class index.
+
+    Reference parity: ``deepbinner/prep.py :: prep`` consumes Porechop's
+    demultiplexing output directly (SURVEY.md §2 item 5).  Porechop's
+    barcode-binning mode writes one reads file per bin — ``BC01.fastq.gz``
+    … ``BC12.fastq.gz`` plus ``none.fastq.gz`` — which is its stable,
+    documented output surface; this parser maps each binned read id back to
+    its barcode class.  Bin names ``BC%02d``/``NB%02d``/``barcode%02d``
+    (any case, .fastq/.fasta, gzipped or not) are accepted;
+    ``none``/``unclassified`` map to class 0.
+
+    PARITY-REVERIFY: if the reference parses Porechop's *stdout log* rather
+    than its binned files, re-derive the exact format from
+    deepbinner/prep.py once the mount is populated.
+    """
+    import re
+
+    if not os.path.isdir(bin_dir):
+        quit_with_error(f"--porechop expects Porechop's -b output directory; "
+                        f"{bin_dir} is not a directory")
+    assignments: Dict[str, int] = {}
+    pattern = re.compile(r"^(?:bc|nb|barcode)(\d{1,2})$", re.IGNORECASE)
+    recognised_files = 0
+    for name in sorted(os.listdir(bin_dir)):
+        stem = name
+        for suffix in (".gz", ".fastq", ".fasta", ".fq", ".fa"):
+            if stem.lower().endswith(suffix):
+                stem = stem[: -len(suffix)]
+        match = pattern.match(stem)
+        if match:
+            label = int(match.group(1))
+            if not 1 <= label <= 12:
+                continue
+        elif stem.lower() in ("none", "unclassified"):
+            label = 0
+        else:
+            continue
+        recognised_files += 1
+        for read_id, _name, _seq, _quals in seqio.iterate_reads(
+            os.path.join(bin_dir, name)
+        ):
+            assignments[read_id] = label
+    if not recognised_files:
+        quit_with_error(f"no Porechop bin files (BC01.fastq[.gz] … none.fastq"
+                        f"[.gz]) found in {bin_dir}")
+    return assignments
+
+
 def prep(args) -> None:
     section(f"Preparing {args.end}-of-read training data ({args.kit})")
     files = find_all_fast5s(args.fast5_dir)
@@ -268,11 +325,18 @@ def prep(args) -> None:
     }
     log(f"  {len(sequences)} basecalled reads, {len(files)} fast5 files")
 
-    # External assignments (the reference's Porechop-output mode): a TSV of
-    # read_id → barcode call restricts each read's localisation to its
-    # known barcode. Any demultiplexer's output converts to this format.
+    # External assignments (the reference's Porechop-output mode): a known
+    # barcode per read restricts localisation to that barcode.  Two input
+    # forms: --porechop (Porechop's -b bin directory, parsed directly) and
+    # --assignments (a read_id→call TSV from any demultiplexer).
     assignments: Optional[Dict[str, int]] = None
-    if getattr(args, "assignments", None):
+    if getattr(args, "porechop", None):
+        if getattr(args, "assignments", None):
+            quit_with_error("--porechop and --assignments are exclusive")
+        assignments = parse_porechop_bins(args.porechop)
+        log(f"  {len(assignments)} Porechop bin assignments loaded "
+            f"from {args.porechop}")
+    elif getattr(args, "assignments", None):
         from deepbinner_tpu.utils import table as table_mod
 
         raw = table_mod.parse_classification_file(args.assignments)
@@ -315,6 +379,8 @@ def prep(args) -> None:
                 extract_training_samples(
                     signal, sequence, move, args.kit, args.end,
                     args.signal_size, args.margin, known_barcode=known,
+                    synthetic_barcodes=bool(
+                        getattr(args, "synthetic_barcodes", False)),
                 )
             )
             progress.update()

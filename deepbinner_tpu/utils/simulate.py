@@ -14,9 +14,11 @@ a seeded hash, geometric dwell times, Gaussian noise, an open-pore segment at
 read start/end — enough to make barcode classification a real (non-trivial,
 non-impossible) signal-processing task with the same shape as the real one.
 
-Barcode/adapter sequences are deterministic synthetic stand-ins, NOT the real
-ONT sequences; swap :func:`barcode_sequences` for a data file of real kit
-sequences when reproducing results on real runs.
+Barcode/adapter sequences default to the REAL published ONT kit sequences
+(:mod:`deepbinner_tpu.utils.kits` — round-2 VERDICT item 4), so simulated
+reads, `prep` localisation, and the shipped models all agree with what a
+real sequencing run contains.  ``synthetic=True`` restores the seeded
+random stand-ins (kept for tests that need kit-independent sequences).
 """
 
 from __future__ import annotations
@@ -53,19 +55,33 @@ def random_dna(rng: np.random.Generator, length: int) -> str:
     return "".join(BASES[i] for i in rng.integers(0, 4, length))
 
 
-def barcode_sequences(kit: str) -> List[str]:
-    """Deterministic synthetic barcode sequences for a kit (24-mers)."""
+def barcode_sequences(kit: str, synthetic: bool = False) -> List[str]:
+    """Barcode sequences as they appear at a read start, barcode01..12.
+
+    Default: the real published ONT kit sequences (utils.kits).  With
+    ``synthetic=True``: deterministic seeded 24-mers (the pre-round-3
+    stand-ins, kept for kit-independence tests)."""
     if kit not in KITS:
         raise ValueError(f"unknown kit {kit!r}; choose from {KITS}")
-    return [
-        random_dna(_seeded_rng("barcode", kit, str(i)), 24)
-        for i in range(1, NUM_BARCODES + 1)
-    ]
+    if synthetic:
+        return [
+            random_dna(_seeded_rng("barcode", kit, str(i)), 24)
+            for i in range(1, NUM_BARCODES + 1)
+        ]
+    from deepbinner_tpu.utils import kits
+
+    return kits.barcode_start_forms(kit)
 
 
-def adapter_sequence(kit: str, end: str) -> str:
-    """Synthetic adapter flanking the barcode (fixed per kit/end)."""
-    return random_dna(_seeded_rng("adapter", kit, end), 40)
+def adapter_sequence(kit: str, end: str, synthetic: bool = False) -> str:
+    """Adapter preceding (start) / following (end) the read's genomic part."""
+    if synthetic:
+        return random_dna(_seeded_rng("adapter", kit, end), 40)
+    from deepbinner_tpu.utils import kits
+
+    if end == "start":
+        return kits.leading_adapter(kit)
+    return kits.reverse_complement(kits.LIGATION_ADAPTER_TOP)
 
 
 def reverse_complement(seq: str) -> str:
@@ -143,6 +159,7 @@ def simulate_read(
     genome_length: int = 2000,
     open_pore_length: Optional[int] = None,
     read_id: Optional[str] = None,
+    synthetic: bool = False,
 ) -> SimulatedRead:
     """Simulate one read: [open pore] adapter+barcode+genomic(+barcode+adapter).
 
@@ -150,16 +167,30 @@ def simulate_read(
     genomic; end: genomic then reverse-complement barcode); SQK-RBK004 reads
     carry it at the start only — mirroring the kits' chemistry (SURVEY.md §1).
     barcode=0 simulates a barcode-less read (adapter straight into genomic).
+    Real-sequence mode (default) includes the kits' flanking context around
+    each barcode, exactly as basecalled reads do.
     """
     if not 0 <= barcode <= NUM_BARCODES:
         raise ValueError(f"barcode {barcode} out of range")
-    parts = [adapter_sequence(kit, "start")]
+    parts = [adapter_sequence(kit, "start", synthetic=synthetic)]
     if barcode > 0:
-        parts.append(barcode_sequences(kit)[barcode - 1])
+        if synthetic:
+            parts.append(barcode_sequences(kit, synthetic=True)[barcode - 1])
+        else:
+            from deepbinner_tpu.utils import kits
+
+            parts.append(kits.flanked_start_region(kit, barcode))
+            parts.append(kits.trailing_adapter(kit))
     parts.append(random_dna(rng, genome_length))
     if kit == "EXP-NBD103" and barcode > 0:
-        parts.append(reverse_complement(barcode_sequences(kit)[barcode - 1]))
-        parts.append(adapter_sequence(kit, "end"))
+        if synthetic:
+            parts.append(reverse_complement(
+                barcode_sequences(kit, synthetic=True)[barcode - 1]))
+        else:
+            from deepbinner_tpu.utils import kits
+
+            parts.append(kits.flanked_end_region(kit, barcode))
+        parts.append(adapter_sequence(kit, "end", synthetic=synthetic))
     sequence = "".join(parts)
 
     squiggle, dwells = sequence_to_squiggle(sequence, rng)
@@ -193,6 +224,7 @@ def make_dataset(
     genome_length: int = 2000,
     seed: int = 0,
     write_fastq: bool = True,
+    synthetic: bool = False,
 ) -> Dict[str, int]:
     """Write a labelled synthetic dataset.
 
@@ -215,7 +247,8 @@ def make_dataset(
         b for b in range(1, NUM_BARCODES + 1) for _ in range(reads_per_barcode)
     ]
     for label in labels:
-        read = simulate_read(kit, label, rng, genome_length=genome_length)
+        read = simulate_read(kit, label, rng, genome_length=genome_length,
+                             synthetic=synthetic)
         truth[read.read_id] = read.barcode
         path = os.path.join(fast5_dir, f"{read.read_id}.fast5")
         write_single_read_fast5(path, read.read_id, read.signal)
@@ -235,7 +268,8 @@ def make_dataset(
         json.dump(
             {"kit": kit, "reads_per_barcode": reads_per_barcode,
              "none_reads": none_reads, "seed": seed,
-             "genome_length": genome_length},
+             "genome_length": genome_length,
+             "barcodes": "synthetic" if synthetic else "real-kit"},
             handle, indent=2,
         )
     return truth

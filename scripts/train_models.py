@@ -194,7 +194,7 @@ def main():
         )
         save_model(out, network, best_variables, metadata={
             "kit": args.kit, "end": args.end, "best_val": best,
-            "trained_on": "synthetic-simulator",
+            "trained_on": "synthetic-squiggle+real-kit-sequences",
             "reads_per_barcode": args.reads_per_barcode,
         })
         summary["window_val"] = best
