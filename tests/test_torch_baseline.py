@@ -54,24 +54,60 @@ def test_model_forward_parity(weights):
     np.testing.assert_allclose(jax_probs, torch_probs, atol=2e-5)
 
 
-def test_pipeline_call_parity(weights):
-    """Same reads through both full pipelines → same barcode calls."""
+def test_pipeline_call_and_combine_parity(weights):
+    """Same reads through both full pipelines → same COMBINED probabilities
+    (numeric) and same calls at the real non-zero thresholds.
+
+    Round-2 VERDICT item 3: zero-threshold call comparison alone let the
+    baseline's combine rule drift invisibly; requiring the combined
+    probability vectors to match pins the torch pipeline to exactly
+    ops.calling.combine_window_probs."""
     model, variables = weights
     rng = np.random.default_rng(7)
     reads = []
-    for barcode in range(1, 7):
+    for barcode in list(range(1, 7)) + [0, 0]:
         read = simulate.simulate_read("EXP-NBD103", barcode, rng,
                                       genome_length=800)
         reads.append((read.read_id, read.signal))
 
-    call_cfg = CallingConfig(min_score=0.0, score_diff=0.0)
+    # Real production thresholds — drift in the combine shows up as a
+    # different margin and therefore (eventually) a different call.
+    call_cfg = CallingConfig(min_score=0.5, score_diff=0.5)
     cfg = ClassifyConfig(TINY_PRE, call_cfg, dual_model=False)
     program = ClassifyProgram(model, cfg, variables)
-    jax_calls = {
-        r.read_id: r.call
+    jax_results = {
+        r.read_id: (r.call, np.asarray(r.start_probs))
         for r in classify_stream(program, iter(reads), batch_size=8)
     }
 
-    torch_classify = torch_classify_fn(TINY_NET, variables, TINY_PRE, call_cfg)
-    torch_calls = dict(torch_classify(reads))
-    assert jax_calls == torch_calls
+    torch_classify = torch_classify_fn(TINY_NET, variables, TINY_PRE,
+                                       call_cfg, return_probs=True)
+    torch_results = {rid: (call, probs)
+                     for rid, call, probs in torch_classify(reads)}
+    assert set(jax_results) == set(torch_results)
+    for read_id, (jax_call, jax_probs) in jax_results.items():
+        torch_call, torch_probs = torch_results[read_id]
+        assert jax_call == torch_call, read_id
+        np.testing.assert_allclose(jax_probs, torch_probs, atol=3e-5,
+                                   err_msg=read_id)
+
+
+def test_torch_batching_is_invariant(weights):
+    """Calls and combined probs must not depend on the read-batch size."""
+    model, variables = weights
+    rng = np.random.default_rng(11)
+    reads = []
+    for barcode in [1, 2, 3, 0, 5]:
+        read = simulate.simulate_read("EXP-NBD103", barcode, rng,
+                                      genome_length=600)
+        reads.append((read.read_id, read.signal))
+    call_cfg = CallingConfig()
+    outs = []
+    for read_batch in (1, 2, 256):
+        fn = torch_classify_fn(TINY_NET, variables, TINY_PRE, call_cfg,
+                               read_batch=read_batch, return_probs=True)
+        outs.append(fn(reads))
+    for other in outs[1:]:
+        for (rid_a, call_a, p_a), (rid_b, call_b, p_b) in zip(outs[0], other):
+            assert (rid_a, call_a) == (rid_b, call_b)
+            np.testing.assert_allclose(p_a, p_b, atol=1e-6)
