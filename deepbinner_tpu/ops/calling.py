@@ -39,10 +39,15 @@ class CallingConfig:
     min_score: float = 0.5    # best barcode probability must reach this
     score_diff: float = 0.5   # margin over the runner-up barcode
     require_both: bool = False  # dual-model: both ends must agree (vs either)
+    # Window combine rule: "neighbour" (default, measured better — see
+    # combine_window_probs) or "best" (the plain best-evidence window, kept
+    # so reference parity can be tested rule-for-rule when the mount
+    # appears — round-2 ADVICE item 3).
+    combine: str = "neighbour"
 
 
 def combine_window_probs(
-    probs: jnp.ndarray, window_mask: jnp.ndarray
+    probs: jnp.ndarray, window_mask: jnp.ndarray, rule: str = "neighbour"
 ) -> jnp.ndarray:
     """Neighbour-supported best-evidence combination of window probabilities.
 
@@ -74,24 +79,34 @@ def combine_window_probs(
     eval).  Rows with zero valid windows get probability 1 on class 0
     ("none") so downstream rules need no special-casing.
     """
+    if rule not in ("neighbour", "best"):
+        raise ValueError(f"unknown combine rule {rule!r}")
     batch, num_windows, _classes = probs.shape
     barcode_strength = jnp.where(
         window_mask, jnp.max(probs[:, :, 1:], axis=-1), -1.0
     )  # (B, W); invalid windows can never be selected
     best_window = jnp.argmax(barcode_strength, axis=-1)  # (B,)
-    left = jnp.clip(best_window - 1, 0, num_windows - 1)
-    right = jnp.clip(best_window + 1, 0, num_windows - 1)
-    strength_at = lambda idx: jnp.take_along_axis(  # noqa: E731
-        barcode_strength, idx[:, None], axis=1
-    )[:, 0]
-    neighbour = jnp.where(strength_at(left) >= strength_at(right), left, right)
-    # A masked (or clipped-onto-self) neighbour falls back to the best
-    # window itself: averaging padding-window probabilities would be garbage.
-    neighbour = jnp.where(strength_at(neighbour) >= 0.0, neighbour, best_window)
     row = lambda idx: jnp.take_along_axis(  # noqa: E731
         probs, idx[:, None, None], axis=1
     )[:, 0, :]
-    combined = 0.5 * (row(best_window) + row(neighbour))
+    if rule == "best":
+        combined = row(best_window)
+    else:
+        left = jnp.clip(best_window - 1, 0, num_windows - 1)
+        right = jnp.clip(best_window + 1, 0, num_windows - 1)
+        strength_at = lambda idx: jnp.take_along_axis(  # noqa: E731
+            barcode_strength, idx[:, None], axis=1
+        )[:, 0]
+        neighbour = jnp.where(
+            strength_at(left) >= strength_at(right), left, right
+        )
+        # A masked (or clipped-onto-self) neighbour falls back to the best
+        # window itself: averaging padding-window probabilities would be
+        # garbage.
+        neighbour = jnp.where(
+            strength_at(neighbour) >= 0.0, neighbour, best_window
+        )
+        combined = 0.5 * (row(best_window) + row(neighbour))
     any_valid = jnp.any(window_mask, axis=1, keepdims=True)
     none_row = jnp.zeros((NUM_CLASSES,), probs.dtype).at[0].set(1.0)
     return jnp.where(any_valid, combined, none_row[None, :])

@@ -72,13 +72,15 @@ def _reader_worker(
         if path is _SENTINEL:
             out.put(_SENTINEL)
             return
+        error = ""
         try:
             reads = read_fn(path)  # type: ignore[arg-type]
-        except Exception:
+        except Exception as exc:  # noqa: BLE001 — skip-and-count semantics
             reads = []
+            error = repr(exc)
         if not reads:
             with stats_lock:
-                stats.failed_files += 1
+                stats.record_failure(path, error)
             continue
         for item in reads:
             out.put(item)

@@ -22,6 +22,16 @@ class ExecutorStats:
     reads: int = 0
     batches: int = 0
     failed_files: int = 0
+    # Which files failed and why: a transient I/O failure must be
+    # re-attemptable (shard resume) and a 100%-unreadable input set must
+    # fail loudly instead of emitting an empty table (round-2 ADVICE 2+4).
+    failed_paths: List[str] = dataclasses.field(default_factory=list)
+    failed_errors: List[str] = dataclasses.field(default_factory=list)
+
+    def record_failure(self, path: str, error: str = "") -> None:
+        self.failed_files += 1
+        self.failed_paths.append(path)
+        self.failed_errors.append(error)
 
 
 @dataclasses.dataclass(frozen=True)

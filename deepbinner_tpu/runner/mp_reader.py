@@ -109,12 +109,14 @@ def _pool_worker(
                 out_queue.put((_CTL, "flush", task[2]))
             continue
         pass_id, path = task
+        error = ""
         try:
             reads = read_file(path)
-        except Exception:
+        except Exception as exc:  # noqa: BLE001 — skip-and-count semantics
             reads = []
+            error = repr(exc)
         if not reads:
-            out_queue.put((_CTL, "failed", pass_id))
+            out_queue.put((_CTL, "failed", pass_id, path, error))
             continue
         if batch_spec is not None:
             for item in reads:
@@ -197,8 +199,11 @@ class ReaderPool:
                     continue
                 if item[1] == "flush":
                     acks += 1
-                else:  # failed file
-                    stats.failed_files += 1
+                else:  # failed file: ("failed", pass_id, path, error)
+                    stats.record_failure(
+                        item[3] if len(item) > 3 else "?",
+                        item[4] if len(item) > 4 else "",
+                    )
                 continue
             if item[0] != pass_id:  # stale data from an abandoned pass
                 continue

@@ -71,7 +71,7 @@ def _one_end_probs(
         logits = model.apply(variables, flat, train=False)
         probs = jax.nn.softmax(logits, axis=-1)
     probs = probs.reshape(batch, num_windows, -1)
-    return combine_window_probs(probs, mask)
+    return combine_window_probs(probs, mask, rule=cfg.calling.combine)
 
 
 def classify_step(

@@ -141,7 +141,8 @@ def preprocess_read(signal: np.ndarray, pre_cfg) -> np.ndarray:
     return np.stack(windows)
 
 
-def combine_window_probs_np(probs: np.ndarray) -> np.ndarray:
+def combine_window_probs_np(probs: np.ndarray,
+                            rule: str = "neighbour") -> np.ndarray:
     """EXACT numpy port of ops.calling.combine_window_probs for one read.
 
     ``probs``: (W, C) — the read's valid windows only (the host pipeline
@@ -156,6 +157,8 @@ def combine_window_probs_np(probs: np.ndarray) -> np.ndarray:
         return none_row
     strength = probs[:, 1:].max(axis=-1)
     best = int(np.argmax(strength))
+    if rule == "best":
+        return probs[best].copy()
     left = min(max(best - 1, 0), num_windows - 1)
     right = min(max(best + 1, 0), num_windows - 1)
     neighbour = left if strength[left] >= strength[right] else right
@@ -214,7 +217,8 @@ def torch_classify_fn(
             for (read_id, _signal), count in zip(chunk, counts):
                 probs = all_probs[offset : offset + count]
                 offset += count
-                combined = combine_window_probs_np(probs)
+                combined = combine_window_probs_np(
+                    probs, rule=getattr(call_cfg, "combine", "neighbour"))
                 call = call_one_end_np(combined, call_cfg)
                 if return_probs:
                     results.append((read_id, call, combined))

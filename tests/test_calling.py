@@ -56,6 +56,29 @@ def test_combine_neighbour_support():
     np.testing.assert_allclose(combined[1], probs[1, 1], atol=1e-6)
 
 
+def test_combine_best_rule_flag():
+    """rule='best' restores the plain best-evidence-window combine (kept for
+    reference-parity testing — round-2 ADVICE item 3) and the numpy port
+    matches it exactly."""
+    from deepbinner_tpu.utils.torch_baseline import combine_window_probs_np
+
+    probs = np.zeros((1, 3, NUM_CLASSES), np.float32)
+    probs[0, 0, 0] = 1.0
+    probs[0, 1, 3] = 0.8   # best evidence
+    probs[0, 2, 3] = 0.6   # neighbour would average under the default rule
+    mask = jnp.asarray([[True, True, True]])
+    best = np.asarray(combine_window_probs(jnp.asarray(probs), mask,
+                                           rule="best"))
+    np.testing.assert_allclose(best[0], probs[0, 1], atol=1e-6)
+    neigh = np.asarray(combine_window_probs(jnp.asarray(probs), mask))
+    assert not np.allclose(best[0], neigh[0])
+    for rule in ("best", "neighbour"):
+        device = np.asarray(combine_window_probs(jnp.asarray(probs), mask,
+                                                 rule=rule))
+        host = combine_window_probs_np(probs[0], rule=rule)
+        np.testing.assert_allclose(device[0], host, atol=1e-6)
+
+
 def test_combine_masked_window_never_selected():
     probs = np.zeros((1, 2, NUM_CLASSES), np.float32)
     probs[0, 0, 0] = 1.0   # valid window: pure none

@@ -96,6 +96,41 @@ def test_classify_shard_resume(dataset, tiny_model, capsys, tmp_path):
         _classify(root, other_model, capsys, extra=extra)
 
 
+def test_classify_shard_retries_failed_files(dataset, tiny_model, capsys, tmp_path):
+    """A transiently-unreadable file is recorded in a shard sidecar and
+    RETRIED on rerun, instead of being permanently lost (ADVICE r2 item 4)."""
+    root, truth = dataset
+    plain = _classify(root, tiny_model, capsys)
+    victim = sorted((root / "fast5s").iterdir())[0]
+    original = victim.read_bytes()
+    victim.write_bytes(b"not an hdf5 file")
+    shard_dir = tmp_path / "shards"
+    extra = ("--shard_dir", str(shard_dir), "--shard_files", "4")
+    out1 = _classify(root, tiny_model, capsys, extra=extra)
+    assert len(out1.splitlines()) < len(plain.splitlines())  # reads missing
+    sidecars = list(shard_dir.glob("*.failed"))
+    assert len(sidecars) == 1
+    assert sidecars[0].read_text().strip() == str(victim)
+    # Restore the file; the rerun must retry it and converge to the full table.
+    victim.write_bytes(original)
+    out2 = _classify(root, tiny_model, capsys, extra=extra)
+    assert out2 == plain
+    assert not list(shard_dir.glob("*.failed"))  # sidecar cleared
+
+
+def test_classify_all_unreadable_fails_loud(tiny_model, capsys, tmp_path):
+    """100% unreadable inputs must error, not emit an empty table
+    (ADVICE r2 item 2 — the silent-empty pod5 hazard)."""
+    bad_dir = tmp_path / "bad"
+    bad_dir.mkdir()
+    (bad_dir / "a.fast5").write_bytes(b"garbage")
+    (bad_dir / "b.pod5").write_bytes(b"garbage")
+    with pytest.raises(SystemExit):
+        main(["classify", str(bad_dir), "-s", tiny_model,
+              "--scan_size", "768", "--batch_size", "8"])
+    capsys.readouterr()
+
+
 def test_classify_verbose_scores(dataset, tiny_model, capsys):
     root, truth = dataset
     out = _classify(root, tiny_model, capsys, extra=("--verbose",))
