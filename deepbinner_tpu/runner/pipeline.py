@@ -50,6 +50,9 @@ class ClassifyConfig:
     # Run the CNN through the fused Pallas conv kernels instead of the flax
     # graph (same weights, parity-tested; see models/pallas_apply.py).
     use_pallas: bool = False
+    # With use_pallas: single whole-trunk megakernel (activations never
+    # leave VMEM between layers) vs one kernel per ConvBNRelu unit.
+    pallas_fused: bool = True
 
 
 def _one_end_probs(
@@ -64,9 +67,14 @@ def _one_end_probs(
     batch, num_windows, width = windows.shape
     flat = windows.reshape(batch * num_windows, width, 1)
     if cfg.use_pallas:
-        from deepbinner_tpu.models.pallas_apply import apply_inference_pallas
+        from deepbinner_tpu.models.pallas_apply import (
+            apply_inference_pallas,
+            apply_inference_pallas_fused,
+        )
 
-        probs = apply_inference_pallas(model.config, variables, flat)
+        apply = (apply_inference_pallas_fused if cfg.pallas_fused
+                 else apply_inference_pallas)
+        probs = apply(model.config, variables, flat)
     else:
         logits = model.apply(variables, flat, train=False)
         probs = jax.nn.softmax(logits, axis=-1)

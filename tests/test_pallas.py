@@ -10,7 +10,10 @@ import numpy as np
 import pytest
 
 from deepbinner_tpu.models.network import NetworkConfig, init_params
-from deepbinner_tpu.models.pallas_apply import apply_inference_pallas
+from deepbinner_tpu.models.pallas_apply import (
+    apply_inference_pallas,
+    apply_inference_pallas_fused,
+)
 from deepbinner_tpu.ops.conv_pallas import (
     conv1d_bn_relu_reference,
     fold_batchnorm,
@@ -63,6 +66,21 @@ def test_fold_batchnorm():
     np.testing.assert_allclose(float(bias[0]), -2.0)
 
 
+@pytest.mark.parametrize("pool", [False, True])
+def test_conv_kernel_fused_pool_parity(rng, pool):
+    """The in-epilogue maxpool2 matches a separate pool after the oracle."""
+    x = jnp.asarray(rng.normal(size=(3, 64, 8)), jnp.float32)
+    kernel = jnp.asarray(rng.normal(size=(3, 8, 16)), jnp.float32)
+    scale = jnp.asarray(rng.normal(size=(16,)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(16,)), jnp.float32)
+    got = fused_conv1d_bn_relu(x, kernel, scale, bias, pool=pool,
+                               interpret=True)
+    want = conv1d_bn_relu_reference(x, kernel, scale, bias, pool=pool)
+    assert got.shape == ((3, 32, 16) if pool else (3, 64, 16))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+
+
 def test_full_network_parity(rng):
     """Whole DemuxNet: Pallas path == flax path on the same weights."""
     model, variables = init_params(jax.random.PRNGKey(1), TINY_NET)
@@ -72,5 +90,35 @@ def test_full_network_parity(rng):
     )
     got = np.asarray(
         apply_inference_pallas(TINY_NET, variables, x, interpret=True)
+    )
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_full_network_megakernel_parity(rng):
+    """Single-kernel conv trunk == flax path, including a non-tile batch."""
+    model, variables = init_params(jax.random.PRNGKey(2), TINY_NET)
+    x = jnp.asarray(rng.normal(size=(7, TINY_NET.input_length)), jnp.float32)
+    want = np.asarray(
+        jax.nn.softmax(model.apply(variables, x[:, :, None], train=False), -1)
+    )
+    got = np.asarray(
+        apply_inference_pallas_fused(TINY_NET, variables, x, interpret=True)
+    )
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_megakernel_multi_block_config(rng):
+    """Deeper config (2 blocks, 2 inceptions — the flagship shape) stays
+    exact through the megakernel's static unrolling."""
+    net = NetworkConfig(input_length=512, stem_features=16,
+                        block_features=(16, 32), inception_features=(32, 32),
+                        head_features=32)
+    model, variables = init_params(jax.random.PRNGKey(3), net)
+    x = jnp.asarray(rng.normal(size=(3, net.input_length)), jnp.float32)
+    want = np.asarray(
+        jax.nn.softmax(model.apply(variables, x[:, :, None], train=False), -1)
+    )
+    got = np.asarray(
+        apply_inference_pallas_fused(net, variables, x, interpret=True)
     )
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
