@@ -1,0 +1,209 @@
+#!/usr/bin/env python
+"""Multi-process scaling-efficiency harness (round-2 VERDICT item 8).
+
+Target (BASELINE.md): ≥90% scaling efficiency on 2+ hosts.  Real multi-host
+TPU hardware does not exist in this environment, so this harness measures
+the *process-scaling* path end-to-end on whatever platform it is given:
+
+1. one reference run: a single process classifies the whole dataset;
+2. one scaled run: N `jax.distributed` processes classify their
+   deterministic file shards concurrently (the production multi-host path —
+   dist.shard_files + per-process ClassifyProgram + call-table all-gather);
+3. efficiency = (scaled total reads/s) / (N × single-process reads/s).
+
+On a real 2-host TPU slice, run exactly this script on host 0 with
+``--platform default`` and the hosts listed in JAX_COORDINATOR_ADDRESS env
+plumbing (see docs/performance.md "Multi-host scaling" for the procedure);
+here the CI proxy runs N processes on the CPU platform of one machine, which
+*shares* cores between processes — so the CPU proxy's efficiency is a lower
+bound dominated by core contention, not by the framework's coordination
+overhead.  What the harness proves now: the multi-process path itself adds
+only the all-gather + startup to the critical path, and output stays
+byte-identical.
+
+Usage:
+  python scripts/scaling_efficiency.py [--processes 2] [--reads 128]
+      [--platform cpu] [--tiny]
+Prints one JSON line:
+  {"metric": "scaling_efficiency_2proc", "value": ..., "unit": "%", ...}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import socket
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+_WORKER = r"""
+import sys, time
+import jax
+if "--platform=cpu" in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+from deepbinner_tpu.cli.main import main
+t0 = time.monotonic()
+main(["classify", sys.argv[1], "-s", sys.argv[2],
+      "--scan_size", sys.argv[3], "--batch_size", sys.argv[4]])
+print(f"WALL:{time.monotonic() - t0}", file=sys.stderr)
+"""
+
+
+def _free_port() -> int:
+    with socket.socket() as sock:
+        sock.bind(("localhost", 0))
+        return sock.getsockname()[1]
+
+
+def _ensure_model_and_data(tiny: bool, reads: int, work_dir: str):
+    from deepbinner_tpu.utils import simulate
+
+    root = os.path.join(work_dir, "ds")
+    per_barcode = max(1, reads // 13)
+    simulate.make_dataset(root, kit="EXP-NBD103",
+                          reads_per_barcode=per_barcode,
+                          none_reads=reads - 12 * per_barcode,
+                          genome_length=1500, seed=77, write_fastq=False)
+    if tiny:
+        import jax
+
+        from deepbinner_tpu.models.checkpoint import save_model
+        from deepbinner_tpu.models.network import NetworkConfig, init_params
+
+        net = NetworkConfig(input_length=256, stem_features=8,
+                            block_features=(8,), inception_features=(16,),
+                            head_features=16)
+        model_path = os.path.join(work_dir, "starts.dbt")
+        _, variables = init_params(jax.random.PRNGKey(0), net)
+        save_model(model_path, net, variables,
+                   {"kit": "EXP-NBD103", "end": "start"})
+        scan = 768
+    else:
+        model_path = os.path.join(REPO, "deepbinner_tpu", "models", "data",
+                                  "EXP-NBD103_read_starts.dbt")
+        scan = 6144
+    return os.path.join(root, "fast5s"), model_path, scan
+
+
+def _run(fast5_dir, model, scan, batch, env) -> tuple:
+    proc = subprocess.Popen(
+        [sys.executable, "-c", _WORKER, fast5_dir, model, str(scan),
+         str(batch)]
+        + (["--platform=cpu"] if env.get("SCALE_PLATFORM") == "cpu" else []),
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True,
+    )
+    return proc
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--processes", type=int, default=2)
+    parser.add_argument("--reads", type=int, default=128)
+    parser.add_argument("--batch-size", type=int, default=16)
+    parser.add_argument("--platform", default="cpu",
+                        choices=["cpu", "default"],
+                        help="cpu = single-machine CI proxy; default = run "
+                             "on the attached accelerator(s) (real slice)")
+    parser.add_argument("--tiny", action="store_true",
+                        help="tiny network (CI-speed; the CPU proxy default)")
+    parser.add_argument("--work-dir", default=None)
+    args = parser.parse_args()
+    if args.platform == "cpu" and not args.tiny:
+        args.tiny = True  # full net on CPU takes minutes per batch
+
+    if args.platform == "cpu":
+        # The parent builds the tiny model with jax: force the CPU platform
+        # HERE (the axon sitecustomize overrides JAX_PLATFORMS from inside
+        # register(), so only a post-import config update wins — CLAUDE.md),
+        # or the parent claims the TPU chip and stalls the whole harness.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    work_dir = args.work_dir or tempfile.mkdtemp(prefix="dbt_scaling_")
+    fast5_dir, model, scan = _ensure_model_and_data(
+        args.tiny, args.reads, work_dir)
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["JAX_COMPILATION_CACHE_DIR"] = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR", "/tmp/deepbinner_tpu_jax_cache")
+    if args.platform == "cpu":
+        env["JAX_PLATFORMS"] = "cpu"
+        env["SCALE_PLATFORM"] = "cpu"
+        env.pop("XLA_FLAGS", None)
+    for var in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+                "JAX_PROCESS_ID"):
+        env.pop(var, None)
+
+    # Warm run (compile cache) then the timed single-process reference.
+    for label in ("warm", "single"):
+        t0 = time.monotonic()
+        proc = _run(fast5_dir, model, scan, args.batch_size, env)
+        out, err = proc.communicate(timeout=900)
+        if proc.returncode != 0:
+            raise RuntimeError(f"{label} run failed:\n{err[-2000:]}")
+        single_wall = time.monotonic() - t0
+        single_rows = max(len(out.splitlines()) - 1, 1)
+    single_rps = single_rows / single_wall
+
+    # Scaled run: N jax.distributed processes, shared dataset, one shard each.
+    coordinator = f"localhost:{_free_port()}"
+    t0 = time.monotonic()
+    procs = []
+    for pid in range(args.processes):
+        penv = dict(env)
+        penv.update({
+            "JAX_COORDINATOR_ADDRESS": coordinator,
+            "JAX_NUM_PROCESSES": str(args.processes),
+            "JAX_PROCESS_ID": str(pid),
+        })
+        procs.append(_run(fast5_dir, model, scan, args.batch_size, penv))
+    outs = [p.communicate(timeout=900) for p in procs]
+    scaled_wall = time.monotonic() - t0
+    for proc, (_w_out, w_err) in zip(procs, outs):
+        if proc.returncode != 0:
+            raise RuntimeError(f"scaled run failed:\n{w_err[-2000:]}")
+    merged_rows = max(len(outs[0][0].splitlines()) - 1, 1)
+    scaled_rps = merged_rows / scaled_wall
+    efficiency = 100.0 * scaled_rps / (args.processes * single_rps)
+
+    # Correctness first: the merged multi-process table must equal the
+    # single-process table byte-for-byte (the north-star invariant).
+    def strip_noise(text):
+        return "".join(l for l in text.splitlines(keepends=True)
+                       if not l.startswith("[Gloo]"))
+
+    single_table = strip_noise(out)
+    merged_table = strip_noise(outs[0][0])
+    with open(os.path.join(work_dir, "single.tsv"), "w") as handle:
+        handle.write(single_table)
+    with open(os.path.join(work_dir, "merged.tsv"), "w") as handle:
+        handle.write(merged_table)
+    identical = merged_table == single_table
+
+    print(json.dumps({
+        "metric": f"scaling_efficiency_{args.processes}proc",
+        "value": round(efficiency, 1),
+        "unit": "%",
+        "single_reads_per_s": round(single_rps, 2),
+        "scaled_reads_per_s": round(scaled_rps, 2),
+        "processes": args.processes,
+        "reads": single_rows,
+        "platform": args.platform,
+        "output_byte_identical": identical,
+        "note": ("single-machine CPU proxy: processes share cores, so this "
+                 "is a contention-dominated lower bound; see "
+                 "docs/performance.md for the real 2-host procedure"
+                 if args.platform == "cpu" else "accelerator run"),
+    }))
+
+
+if __name__ == "__main__":
+    main()
