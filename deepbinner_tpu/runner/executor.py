@@ -141,7 +141,8 @@ def classify_batches(
     program: ClassifyProgram,
     batches: Iterable[BuiltBatch],
     stats: Optional[ExecutorStats] = None,
-    in_flight: int = 2,
+    in_flight: int = 3,
+    prefetch: int = 2,
 ) -> Iterator[ReadResult]:
     """Classify pre-built fixed-shape batches; yields ReadResults.
 
@@ -150,14 +151,49 @@ def classify_batches(
     reader worker processes build the batches themselves
     (mp_reader.ReaderPool.iter_batches) — the consumer process does nothing
     per read, only one dispatch + one result drain per batch.
+
+    ``prefetch`` > 0 pulls the batch iterator on a small feeder thread, so
+    the multiprocessing-queue deserialisation (a multi-MB numpy memcpy per
+    batch) overlaps the device wait instead of serialising with dispatch.
+    This thread touches ONLY pickled numpy — never libhdf5/h5py, the
+    combination that wedged the TPU client in round 1.
     """
     import collections
+    import queue as queue_mod
+    import threading
 
     from deepbinner_tpu.runner.pipeline import unpack_call_table
 
     stats = stats or ExecutorStats()
     dual = program.cfg.dual_model
     pending: "collections.deque[Tuple[List[str], object]]" = collections.deque()
+
+    if prefetch > 0:
+        feed: "queue_mod.Queue" = queue_mod.Queue(maxsize=prefetch)
+        error: List[BaseException] = []
+
+        def feeder() -> None:
+            try:
+                for item in batches:
+                    feed.put(item)
+            except BaseException as exc:  # noqa: BLE001 — surfaced below
+                error.append(exc)
+            finally:
+                feed.put(None)
+
+        threading.Thread(target=feeder, daemon=True,
+                         name="classify-batch-feeder").start()
+
+        def iter_fed() -> Iterator[BuiltBatch]:
+            while True:
+                item = feed.get()
+                if item is None:
+                    if error:
+                        raise error[0]
+                    return
+                yield item
+
+        batches = iter_fed()
 
     def drain_one() -> Iterator[ReadResult]:
         ids, packed = pending.popleft()

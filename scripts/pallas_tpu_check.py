@@ -31,7 +31,10 @@ def main() -> int:
 
     from deepbinner_tpu.models.checkpoint import load_model
     from deepbinner_tpu.models.network import apply_inference
-    from deepbinner_tpu.models.pallas_apply import apply_inference_pallas
+    from deepbinner_tpu.models.pallas_apply import (
+        apply_inference_pallas,
+        apply_inference_pallas_fused,
+    )
     from deepbinner_tpu.ops.conv_pallas import (
         conv1d_bn_relu_reference,
         fused_conv1d_bn_relu,
@@ -74,25 +77,30 @@ def main() -> int:
                           "k": taps, "dil": dil, "max_abs_diff": diff,
                           "ok": ok}), flush=True)
 
-    # 2. Full-network parity: probabilities + argmax calls.
+    # 2. Full-network parity: probabilities + argmax calls, both Pallas paths.
     windows = jnp.asarray(
         rng.normal(size=(64, net_cfg.input_length, 1)), jnp.float32
     )
-    p_pallas = jax.jit(
-        lambda v, w: apply_inference_pallas(net_cfg, v, w, interpret=interpret)
-    )(variables, windows)
     p_flax = jax.jit(lambda v, w: apply_inference(model, v, w))(variables, windows)
-    diff = float(jnp.max(jnp.abs(p_pallas - p_flax)))
-    calls_equal = bool(
-        jnp.all(jnp.argmax(p_pallas, -1) == jnp.argmax(p_flax, -1))
-    )
-    # The parity target is the DECISION, not the last ulps of the softmax
-    # (SURVEY.md §7 risk 1): different fusion/accumulation orders legitimately
-    # move full-network f32 probabilities ~1e-3; argmax must not move.
-    ok = diff < 2e-3 and calls_equal
-    failures += not ok
-    print(json.dumps({"check": "full_network", "max_abs_prob_diff": diff,
-                      "argmax_calls_equal": calls_equal, "ok": ok}), flush=True)
+    for path, apply_fn in [("unit", apply_inference_pallas),
+                           ("fused", apply_inference_pallas_fused)]:
+        p_pallas = jax.jit(
+            lambda v, w, fn=apply_fn: fn(net_cfg, v, w, interpret=interpret)
+        )(variables, windows)
+        diff = float(jnp.max(jnp.abs(p_pallas - p_flax)))
+        calls_equal = bool(
+            jnp.all(jnp.argmax(p_pallas, -1) == jnp.argmax(p_flax, -1))
+        )
+        # The parity target is the DECISION, not the last ulps of the softmax
+        # (SURVEY.md §7 risk 1): different fusion/accumulation orders
+        # legitimately move full-network f32 probabilities ~1e-3; argmax must
+        # not move.
+        ok = diff < 2e-3 and calls_equal
+        failures += not ok
+        print(json.dumps({"check": "full_network", "path": path,
+                          "max_abs_prob_diff": diff,
+                          "argmax_calls_equal": calls_equal, "ok": ok}),
+              flush=True)
 
     # 2b. Whole classify-step call parity on realistic simulated squiggles.
     from deepbinner_tpu.ops.calling import CallingConfig
@@ -109,44 +117,64 @@ def main() -> int:
     ]
     pre = PreprocessConfig()
     ids, sig, lens, _e, _el = build_batch(reads, pre, 64, False)
+    paths = [
+        ("xla", dict(use_pallas=False)),
+        ("pallas_unit", dict(use_pallas=True, pallas_fused=False)),
+        ("pallas_fused", dict(use_pallas=True, pallas_fused=True)),
+    ]
     tables = {}
-    for name, use_pallas in [("xla", False), ("pallas", True)]:
-        cfg = ClassifyConfig(pre, CallingConfig(), False, use_pallas=use_pallas)
+    for name, flags in paths:
+        cfg = ClassifyConfig(pre, CallingConfig(), False, **flags)
         prog = ClassifyProgram(model, cfg, variables)
         tables[name] = np.asarray(prog(sig, lens).calls)
-    step_equal = bool(np.array_equal(tables["xla"], tables["pallas"]))
-    failures += not step_equal
-    print(json.dumps({"check": "classify_step_calls",
-                      "calls_equal": step_equal,
-                      "n_reads": len(ids), "ok": step_equal}), flush=True)
+    for name in ("pallas_unit", "pallas_fused"):
+        step_equal = bool(np.array_equal(tables["xla"], tables[name]))
+        failures += not step_equal
+        print(json.dumps({"check": "classify_step_calls", "path": name,
+                          "calls_equal": step_equal,
+                          "n_reads": len(ids), "ok": step_equal}), flush=True)
 
-    # 3. Timing: device-only classify step, both paths, flagship batch.
-    from deepbinner_tpu.ops.calling import CallingConfig
-    from deepbinner_tpu.ops.preprocess import PreprocessConfig
-    from deepbinner_tpu.runner.pipeline import ClassifyConfig, ClassifyProgram
-
+    # 3. Timing, flagship batch, all paths, two views:
+    #    e2e     — host numpy in: every rep pays the 8.4 MB int16 upload
+    #              (what the streaming pipeline pays per batch);
+    #    compute — device-resident input: pure device execution, the number
+    #              that decides which kernel path is actually faster
+    #              (round-2 VERDICT weak #2: the transfer bound hid a real
+    #              compute gap).
     batch = 512
     pre = PreprocessConfig()
     sig = np.asarray(rng.integers(300, 600, (batch, pre.buffer_size)), np.int16)
     lens = np.full((batch,), pre.buffer_size, np.int32)
-    timings = {}
-    for name, use_pallas in [("xla", False), ("pallas", True)]:
-        cfg = ClassifyConfig(pre, CallingConfig(), False, use_pallas=use_pallas)
+    timings = {"e2e": {}, "compute": {}}
+    sig_dev = jax.device_put(jnp.asarray(sig))
+    lens_dev = jax.device_put(jnp.asarray(lens))
+    for name, flags in paths:
+        cfg = ClassifyConfig(pre, CallingConfig(), False, **flags)
         program = ClassifyProgram(model, cfg, variables)
         program.warm_up(batch)
-        reps = 10
-        t0 = time.monotonic()
-        for _ in range(reps):
-            out = program.call_packed(sig, lens)
-        np.asarray(out)
-        dt = (time.monotonic() - t0) / reps
-        timings[name] = dt
-        print(json.dumps({"check": "timing", "path": name,
-                          "ms_per_batch": round(dt * 1e3, 2),
-                          "reads_per_s": round(batch / dt, 1)}), flush=True)
+        for view, (s, l, reps) in {
+            "e2e": (sig, lens, 6),
+            "compute": (sig_dev, lens_dev, 20),
+        }.items():
+            np.asarray(program.call_packed(s, l))  # warm this exact view
+            t0 = time.monotonic()
+            for _ in range(reps):
+                out = program.call_packed(s, l)
+            np.asarray(out)
+            dt = (time.monotonic() - t0) / reps
+            timings[view][name] = dt
+            print(json.dumps({"check": "timing", "view": view, "path": name,
+                              "ms_per_batch": round(dt * 1e3, 2),
+                              "reads_per_s": round(batch / dt, 1)}),
+                  flush=True)
     print(json.dumps({
         "check": "verdict",
-        "pallas_speedup": round(timings["xla"] / timings["pallas"], 3),
+        "pallas_speedup": round(
+            timings["e2e"]["xla"] / timings["e2e"]["pallas_fused"], 3),
+        "pallas_unit_compute_speedup": round(
+            timings["compute"]["xla"] / timings["compute"]["pallas_unit"], 3),
+        "pallas_fused_compute_speedup": round(
+            timings["compute"]["xla"] / timings["compute"]["pallas_fused"], 3),
         "failures": failures,
     }), flush=True)
     return 1 if failures else 0

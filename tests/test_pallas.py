@@ -41,7 +41,8 @@ def test_conv_kernel_parity(rng, taps, dilation, c_in, c_out):
     bias = jnp.asarray(rng.normal(size=(c_out,)), jnp.float32)
 
     got = fused_conv1d_bn_relu(
-        x, kernel, scale, bias, dilation=dilation, interpret=True
+        x, kernel, scale, bias, dilation=dilation, interpret=True,
+        mxu_dtype=jnp.float32,
     )
     want = conv1d_bn_relu_reference(x, kernel, scale, bias, dilation=dilation)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
@@ -54,7 +55,7 @@ def test_conv_kernel_no_relu(rng):
     ones = jnp.ones((8,), jnp.float32)
     zeros = jnp.zeros((8,), jnp.float32)
     got = fused_conv1d_bn_relu(x, kernel, ones, zeros, relu=False,
-                               interpret=True)
+                               interpret=True, mxu_dtype=jnp.float32)
     assert float(np.asarray(got).min()) < 0  # negatives survive without relu
 
 
@@ -74,7 +75,7 @@ def test_conv_kernel_fused_pool_parity(rng, pool):
     scale = jnp.asarray(rng.normal(size=(16,)), jnp.float32)
     bias = jnp.asarray(rng.normal(size=(16,)), jnp.float32)
     got = fused_conv1d_bn_relu(x, kernel, scale, bias, pool=pool,
-                               interpret=True)
+                               interpret=True, mxu_dtype=jnp.float32)
     want = conv1d_bn_relu_reference(x, kernel, scale, bias, pool=pool)
     assert got.shape == ((3, 32, 16) if pool else (3, 64, 16))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
@@ -89,7 +90,7 @@ def test_full_network_parity(rng):
         jax.nn.softmax(model.apply(variables, x[:, :, None], train=False), -1)
     )
     got = np.asarray(
-        apply_inference_pallas(TINY_NET, variables, x, interpret=True)
+        apply_inference_pallas(TINY_NET, variables, x, interpret=True, mxu_dtype=jnp.float32)
     )
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
 
@@ -102,9 +103,27 @@ def test_full_network_megakernel_parity(rng):
         jax.nn.softmax(model.apply(variables, x[:, :, None], train=False), -1)
     )
     got = np.asarray(
-        apply_inference_pallas_fused(TINY_NET, variables, x, interpret=True)
+        apply_inference_pallas_fused(TINY_NET, variables, x, interpret=True, mxu_dtype=jnp.float32)
     )
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_bf16_mxu_mode_calls_identical(rng):
+    """Optional bf16-multiplicand mode (f32 accumulate): probabilities
+    drift ≤4e-3 from the f32 flax oracle and argmax calls never move — the
+    decision is the parity target (SURVEY.md §7 risk 1).  Kept for
+    re-evaluation on non-tunnelled hosts; default stays f32 (on the v5e
+    chip Mosaic folded the cast — no speed or numeric change)."""
+    model, variables = init_params(jax.random.PRNGKey(4), TINY_NET)
+    x = jnp.asarray(rng.normal(size=(8, TINY_NET.input_length)), jnp.float32)
+    want = np.asarray(
+        jax.nn.softmax(model.apply(variables, x[:, :, None], train=False), -1)
+    )
+    for apply_fn in (apply_inference_pallas, apply_inference_pallas_fused):
+        got = np.asarray(apply_fn(TINY_NET, variables, x, interpret=True,
+                                  mxu_dtype=jnp.bfloat16))
+        np.testing.assert_allclose(got, want, atol=4e-3)
+        np.testing.assert_array_equal(got.argmax(-1), want.argmax(-1))
 
 
 def test_megakernel_multi_block_config(rng):
@@ -119,6 +138,6 @@ def test_megakernel_multi_block_config(rng):
         jax.nn.softmax(model.apply(variables, x[:, :, None], train=False), -1)
     )
     got = np.asarray(
-        apply_inference_pallas_fused(net, variables, x, interpret=True)
+        apply_inference_pallas_fused(net, variables, x, interpret=True, mxu_dtype=jnp.float32)
     )
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)

@@ -33,8 +33,13 @@ def test_pallas_pipeline_matches_flax(rng):
     np.testing.assert_array_equal(
         np.asarray(outs[False].calls), np.asarray(outs[True].calls)
     )
+    # The Pallas path feeds the MXU bf16 multiplicands with f32 accumulate —
+    # the same arithmetic XLA's conv emitter uses on the chip
+    # (--xla_allow_excess_precision) — so probabilities may drift ~1e-3;
+    # the parity target is the CALL (SURVEY.md §7 risk 1), pinned exactly
+    # above.  conv_pallas tests pin strict-f32 kernel parity at 1e-5.
     np.testing.assert_allclose(
         np.asarray(outs[False].start_probs),
         np.asarray(outs[True].start_probs),
-        atol=2e-5, rtol=1e-4,
+        atol=4e-3, rtol=1e-2,
     )
