@@ -141,8 +141,9 @@ def classify_batches(
     program: ClassifyProgram,
     batches: Iterable[BuiltBatch],
     stats: Optional[ExecutorStats] = None,
-    in_flight: int = 3,
-    prefetch: int = 2,
+    in_flight: int = 4,
+    prefetch: int = 3,
+    dispatch_threads: int = 2,
 ) -> Iterator[ReadResult]:
     """Classify pre-built fixed-shape batches; yields ReadResults.
 
@@ -157,16 +158,28 @@ def classify_batches(
     batch) overlaps the device wait instead of serialising with dispatch.
     This thread touches ONLY pickled numpy — never libhdf5/h5py, the
     combination that wedged the TPU client in round 1.
+
+    ``dispatch_threads`` > 1 issues `program.call_packed` from a small
+    thread pool: on the axon-tunnelled TPU the 7.3 MB host→device batch
+    upload blocks its caller, and the tunnel MULTIPLEXES — two concurrent
+    uploads measured 51.7 MB/s aggregate vs 41.9 single-stream
+    (scripts/tunnel_probe.py, round 3).  Batch order is preserved by the
+    pending deque; per-batch results are independent, so determinism is
+    unaffected.  Threads call only jit entry points (no libhdf5).
     """
     import collections
     import queue as queue_mod
     import threading
+    from concurrent.futures import ThreadPoolExecutor
 
     from deepbinner_tpu.runner.pipeline import unpack_call_table
 
     stats = stats or ExecutorStats()
     dual = program.cfg.dual_model
     pending: "collections.deque[Tuple[List[str], object]]" = collections.deque()
+    executor = (ThreadPoolExecutor(max_workers=dispatch_threads,
+                                   thread_name_prefix="classify-dispatch")
+                if dispatch_threads > 1 else None)
 
     if prefetch > 0:
         feed: "queue_mod.Queue" = queue_mod.Queue(maxsize=prefetch)
@@ -197,6 +210,8 @@ def classify_batches(
 
     def drain_one() -> Iterator[ReadResult]:
         ids, packed = pending.popleft()
+        if executor is not None:
+            packed = packed.result()  # future → device array
         out = unpack_call_table(packed)  # ONE device→host transfer per batch
         for i, read_id in enumerate(ids):
             stats.reads += 1
@@ -209,15 +224,25 @@ def classify_batches(
                 end_probs=out.end_probs[i],
             )
 
-    for ids, s, sl, e, el in batches:
-        packed = (program.call_packed(s, sl, e, el) if dual
-                  else program.call_packed(s, sl))
-        pending.append((ids, packed))
-        stats.batches += 1
-        if len(pending) >= in_flight:
+    def dispatch(s, sl, e, el):
+        return (program.call_packed(s, sl, e, el) if dual
+                else program.call_packed(s, sl))
+
+    try:
+        for ids, s, sl, e, el in batches:
+            if executor is not None:
+                packed = executor.submit(dispatch, s, sl, e, el)
+            else:
+                packed = dispatch(s, sl, e, el)
+            pending.append((ids, packed))
+            stats.batches += 1
+            if len(pending) >= in_flight:
+                yield from drain_one()
+        while pending:
             yield from drain_one()
-    while pending:
-        yield from drain_one()
+    finally:
+        if executor is not None:
+            executor.shutdown(wait=True, cancel_futures=True)
 
 
 def classify_stream(
