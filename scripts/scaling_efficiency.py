@@ -146,7 +146,7 @@ def main() -> None:
     for label in ("warm", "single"):
         t0 = time.monotonic()
         proc = _run(fast5_dir, model, scan, args.batch_size, env)
-        out, err = proc.communicate(timeout=900)
+        out, err = proc.communicate(timeout=1100)
         if proc.returncode != 0:
             raise RuntimeError(f"{label} run failed:\n{err[-2000:]}")
         single_wall = time.monotonic() - t0

@@ -152,7 +152,7 @@ def test_two_process_classify_e2e_matches_single_process(tmp_path):
         )
 
     single_proc = run({})
-    single_out, single_err = single_proc.communicate(timeout=300)
+    single_out, single_err = single_proc.communicate(timeout=600)
     assert single_proc.returncode == 0, f"single failed:\n{single_err[-3000:]}"
     assert single_out.count("\n") >= 15  # header + 14 reads
 
@@ -174,7 +174,7 @@ def test_two_process_classify_e2e_matches_single_process(tmp_path):
 
     outputs = []
     for proc in procs:
-        out, err = proc.communicate(timeout=300)
+        out, err = proc.communicate(timeout=600)
         assert proc.returncode == 0, f"dist worker failed:\n{err[-3000:]}"
         outputs.append((strip_gloo(out), err))
 

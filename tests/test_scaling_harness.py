@@ -19,7 +19,9 @@ def test_scaling_harness_runs_and_output_is_identical(tmp_path):
     proc = subprocess.run(
         [sys.executable, os.path.join(repo, "scripts/scaling_efficiency.py"),
          "--reads", "32", "--work-dir", str(tmp_path)],
-        capture_output=True, text=True, timeout=500, env=env,
+        # generous: under a fully loaded 2-core test run, each of the 4
+        # subprocess passes can take minutes of wall clock
+        capture_output=True, text=True, timeout=1200, env=env,
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     record = json.loads(proc.stdout.splitlines()[-1])
