@@ -78,7 +78,7 @@ def load_flagship(path: str = MODEL_FILE):
     return model, variables, net_cfg
 
 
-def _build_program(use_pallas: bool, dual: bool):
+def _build_program(use_pallas: bool, dual: bool, host_trim: bool = True):
     from deepbinner_tpu.ops.calling import CallingConfig
     from deepbinner_tpu.ops.preprocess import PreprocessConfig
     from deepbinner_tpu.runner.pipeline import ClassifyConfig, ClassifyProgram
@@ -91,7 +91,10 @@ def _build_program(use_pallas: bool, dual: bool):
         if end_cfg != net_cfg:
             raise ValueError("start and end models have different architectures")
     cfg = ClassifyConfig(
-        preprocess=PreprocessConfig(),  # flagship geometry: 6144/1024/512
+        # Flagship geometry 6144/1024/512; host_trim mirrors the classify
+        # CLI default — workers trim open-pore signal so the device payload
+        # is the scan region only (25% fewer tunnel bytes).
+        preprocess=PreprocessConfig(host_trim=host_trim),
         calling=CallingConfig(),
         dual_model=dual,
         use_pallas=use_pallas,
@@ -102,7 +105,8 @@ def _build_program(use_pallas: bool, dual: bool):
 
 def measure_tpu(fast5_dir: str, batch_size: int, reader_workers: int,
                 use_pallas: bool = False, native_reader: bool = True,
-                passes: int = 2, dual: bool = False) -> dict:
+                passes: int = 2, dual: bool = False,
+                host_trim: bool = True) -> dict:
     """Steady-state end-to-end throughput: warm pass + `passes` timed passes.
 
     File decode runs in worker *processes* (runner.mp_reader.ReaderPool):
@@ -117,8 +121,8 @@ def measure_tpu(fast5_dir: str, batch_size: int, reader_workers: int,
     import jax
 
     from deepbinner_tpu.runner.executor import (
-        BatchSpec,
         ExecutorStats,
+        batch_spec_for,
         classify_batches,
     )
     from deepbinner_tpu.runner.mp_reader import ReaderPool
@@ -141,10 +145,9 @@ def measure_tpu(fast5_dir: str, batch_size: int, reader_workers: int,
                       f"workers will use h5py", file=sys.stderr)
 
     t0 = time.monotonic()
-    program, cfg = _build_program(use_pallas, dual)
+    program, cfg = _build_program(use_pallas, dual, host_trim=host_trim)
     setup_s = time.monotonic() - t0
-    spec = BatchSpec(batch_size=batch_size,
-                     buffer_size=cfg.preprocess.buffer_size, dual=dual)
+    spec = batch_spec_for(cfg.preprocess, batch_size, dual)
 
     print(f"[bench] program built ({setup_s:.1f}s); compiling + first-D2H "
           f"handshake …", file=sys.stderr, flush=True)
@@ -306,6 +309,9 @@ def main() -> None:
                         help="run the CNN through the fused Pallas kernels")
     parser.add_argument("--no-native-reader", action="store_true",
                         help="force h5py decode inside the reader workers")
+    parser.add_argument("--device-trim", action="store_true",
+                        help="run open-pore trimming in-graph instead of in "
+                             "the reader workers (A/B the transfer saving)")
     parser.add_argument("--dual", action="store_true",
                         help="measure dual-model (start+end) throughput as "
                              "the primary metric")
@@ -337,7 +343,8 @@ def main() -> None:
     result = measure_tpu(fast5_dir, args.batch_size, args.reader_processes,
                          use_pallas=args.pallas,
                          native_reader=not args.no_native_reader,
-                         passes=args.passes, dual=args.dual)
+                         passes=args.passes, dual=args.dual,
+                         host_trim=not args.device_trim)
 
     value = result["reads_per_s"]
     vs = value / baseline["reads_per_s"] if baseline.get("reads_per_s") else None
@@ -369,7 +376,8 @@ def main() -> None:
         dual = measure_tpu(fast5_dir, args.batch_size, args.reader_processes,
                            use_pallas=args.pallas,
                            native_reader=not args.no_native_reader,
-                           passes=1, dual=True)
+                           passes=1, dual=True,
+                           host_trim=not args.device_trim)
         dvs = dual["reads_per_s"] / baseline["reads_per_s"]
         print(json.dumps({
             "metric": "classify_dual_reads_per_sec_per_chip",

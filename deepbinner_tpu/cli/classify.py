@@ -71,6 +71,11 @@ def build_program(args) -> Tuple[object, object]:
         window=window,
         stride=stride,
         trim_scan=min(2048, scan_size),
+        # Default: open-pore trim runs in the reader workers so the device
+        # payload is the scan region only (25% fewer tunnel bytes — the
+        # throughput wall; docs/performance.md).  --device_trim restores
+        # the fully in-graph path (same math, parity-tested).
+        host_trim=not bool(getattr(args, "device_trim", False)),
     )
     calling = CallingConfig(
         min_score=args.min_score,
@@ -166,15 +171,16 @@ class StreamRunner:
             platform = jax.devices()[0].platform
             reader_processes = 2 if platform not in ("cpu",) else 0
         if reader_processes > 0:
-            from deepbinner_tpu.runner.executor import BatchSpec
+            from deepbinner_tpu.runner.executor import batch_spec_for
             from deepbinner_tpu.runner.mp_reader import ReaderPool
 
             log(f"  {reader_processes} reader worker process(es), "
-                f"worker-side batch assembly")
-            spec = BatchSpec(
-                batch_size=args.batch_size,
-                buffer_size=program.cfg.preprocess.buffer_size,
-                dual=program.cfg.dual_model,
+                f"worker-side batch assembly"
+                + ("" if not program.cfg.preprocess.host_trim
+                   else " + host-side trim"))
+            spec = batch_spec_for(
+                program.cfg.preprocess, args.batch_size,
+                program.cfg.dual_model,
             )
             self.pool = ReaderPool(
                 num_workers=reader_processes, batch_spec=spec,

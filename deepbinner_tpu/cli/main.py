@@ -104,6 +104,11 @@ def _add_classify_common(parser: argparse.ArgumentParser) -> None:
                       help="Force the h5py reader even if the native one is built")
     perf.add_argument("--pallas", action="store_true",
                       help="Run the CNN through the fused Pallas TPU kernels")
+    perf.add_argument("--device_trim", action="store_true",
+                      help="Run open-pore trimming in-graph on the device "
+                           "instead of in the reader workers (same math; "
+                           "host trim ships 25%% fewer bytes per read and "
+                           "is the default)")
     perf.add_argument("--device_count", type=int, default=0,
                       help="Limit devices used (0 = all local devices)")
     perf.add_argument("--profile_dir",

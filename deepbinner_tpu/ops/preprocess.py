@@ -42,6 +42,14 @@ class PreprocessConfig:
     trim_window: int = 64          # rolling-variance window
     trim_stride: int = 16          # rolling-variance stride
     trim_threshold: float = 0.25   # fraction of global std that marks "real" signal
+    # Open-pore trim runs on the HOST (reader workers, numpy mirror in
+    # runner.hostbatch.pretrim_read) instead of in-graph: the device then
+    # receives only the scan region, cutting host→device bytes 25% at the
+    # default geometry — the win that matters when the transfer link (axon
+    # tunnel ~55 MB/s) is the throughput wall, not the chip.  Same trim
+    # math either way (parity-tested); classify/bench default to host trim,
+    # --device_trim restores the in-graph path.
+    host_trim: bool = False
 
     @property
     def num_windows(self) -> int:
@@ -49,7 +57,13 @@ class PreprocessConfig:
 
     @property
     def buffer_size(self) -> int:
-        """Host buffer per read end: trim headroom + scan region."""
+        """Host buffer per read end: trim headroom + scan region.
+
+        Under host_trim the trim already happened in the reader worker, so
+        the device buffer is exactly the scan region.
+        """
+        if self.host_trim:
+            return self.scan_size
         return self.trim_scan + self.scan_size
 
 
@@ -149,6 +163,13 @@ def extract_scan_region(
     positions = jnp.arange(buffer)[None, :]
     mask = positions < lengths[:, None]
     signal = signal * mask  # zero out padding so stats ignore garbage scale
+
+    if cfg.host_trim:
+        # The reader worker already trimmed (hostbatch.pretrim_read); the
+        # buffer IS the scan region.  Static branch — shapes differ per mode,
+        # so the two modes are distinct compiled programs, never mixed.
+        valid = jnp.clip(lengths, 0, cfg.scan_size).astype(jnp.int32)
+        return signal, valid
 
     trim_region = signal[:, : cfg.trim_scan]
     trim_pos = find_signal_start(

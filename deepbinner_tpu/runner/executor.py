@@ -31,6 +31,7 @@ from deepbinner_tpu.runner.hostbatch import (  # noqa: F401 — re-exported API
     BatchSpec,
     BuiltBatch,
     ExecutorStats,
+    TrimSpec,
     build_batch_arrays,
 )
 from deepbinner_tpu.runner.pipeline import ClassifyProgram
@@ -124,6 +125,30 @@ def iter_signals(
         yield item  # type: ignore[misc]
 
 
+def batch_spec_for(
+    cfg: PreprocessConfig, batch_size: int, dual: bool
+) -> BatchSpec:
+    """The BatchSpec matching a compiled program's PreprocessConfig.
+
+    SINGLE source of truth for host↔device batch geometry: under
+    ``cfg.host_trim`` the spec carries the TrimSpec so whoever assembles
+    batches (reader workers or the in-process path) applies exactly the
+    trim the device skips.
+    """
+    trim = None
+    if cfg.host_trim:
+        trim = TrimSpec(
+            trim_scan=cfg.trim_scan,
+            trim_window=cfg.trim_window,
+            trim_stride=cfg.trim_stride,
+            trim_threshold=cfg.trim_threshold,
+            window=cfg.window,
+            scan_size=cfg.scan_size,
+        )
+    return BatchSpec(batch_size=batch_size, buffer_size=cfg.buffer_size,
+                     dual=dual, trim=trim)
+
+
 def build_batch(
     reads: Sequence[Tuple[str, np.ndarray]],
     cfg: PreprocessConfig,
@@ -131,19 +156,16 @@ def build_batch(
     dual: bool,
 ) -> BuiltBatch:
     """Pad reads into fixed-shape buffers (see hostbatch.build_batch_arrays)."""
-    return build_batch_arrays(
-        reads, BatchSpec(batch_size=batch_size, buffer_size=cfg.buffer_size,
-                         dual=dual)
-    )
+    return build_batch_arrays(reads, batch_spec_for(cfg, batch_size, dual))
 
 
 def classify_batches(
     program: ClassifyProgram,
     batches: Iterable[BuiltBatch],
     stats: Optional[ExecutorStats] = None,
-    in_flight: int = 4,
+    in_flight: int = 6,
     prefetch: int = 3,
-    dispatch_threads: int = 2,
+    dispatch_threads: int = 3,
 ) -> Iterator[ReadResult]:
     """Classify pre-built fixed-shape batches; yields ReadResults.
 
@@ -160,12 +182,16 @@ def classify_batches(
     combination that wedged the TPU client in round 1.
 
     ``dispatch_threads`` > 1 issues `program.call_packed` from a small
-    thread pool: on the axon-tunnelled TPU the 7.3 MB host→device batch
-    upload blocks its caller, and the tunnel MULTIPLEXES — two concurrent
-    uploads measured 51.7 MB/s aggregate vs 41.9 single-stream
-    (scripts/tunnel_probe.py, round 3).  Batch order is preserved by the
-    pending deque; per-batch results are independent, so determinism is
-    unaffected.  Threads call only jit entry points (no libhdf5).
+    thread pool: on the axon-tunnelled TPU the multi-MB host→device batch
+    upload blocks its caller, and the tunnel MULTIPLEXES — measured
+    aggregate 38.6 MB/s at 1 stream, 49.8 at 2, 54.8 at 3, then WORSE at
+    4+ (47.5) as streams thrash (scripts/tunnel_probe.py, round 3), so 3
+    is the sweet spot.  Batch order is preserved by the pending deque;
+    per-batch results are independent, so determinism is unaffected.
+    Threads call only jit entry points (no libhdf5).  ``in_flight`` must
+    leave the dispatch pool headroom: with 3 upload streams in flight a
+    6-deep pending window keeps the tunnel saturated while the oldest
+    result drains.
     """
     import collections
     import queue as queue_mod

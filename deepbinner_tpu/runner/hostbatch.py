@@ -35,12 +35,67 @@ class ExecutorStats:
 
 
 @dataclasses.dataclass(frozen=True)
+class TrimSpec:
+    """Open-pore trim geometry for HOST-side pre-trimming.
+
+    Numpy mirror of ops.preprocess.find_signal_start (reference parity:
+    ``deepbinner/trim_signal.py`` — SURVEY.md §2 item 9).  When a BatchSpec
+    carries one, reader workers locate the signal start themselves and ship
+    only the ``scan_size`` samples the CNN consumes — cutting the
+    host→device payload from (trim_scan + scan_size) to scan_size per read
+    end (25% fewer bytes at the default 2048+6144 geometry; the axon tunnel
+    is the throughput wall, see docs/performance.md).
+    """
+
+    trim_scan: int
+    trim_window: int
+    trim_stride: int
+    trim_threshold: float
+    window: int        # never trim past (read_len - window)
+    scan_size: int
+
+    @property
+    def raw_size(self) -> int:
+        """Samples of raw signal the trim search + scan region need."""
+        return self.trim_scan + self.scan_size
+
+
+def pretrim_read(signal: np.ndarray, trim: TrimSpec) -> np.ndarray:
+    """Trim open-pore signal from a read end; returns ≤ scan_size samples.
+
+    Exactly the device trim's math on the unpadded signal (the masked-sum
+    device formulation reduces to plain mean/std when no padding exists;
+    parity-tested against the in-graph path in tests/test_host_trim.py).
+    The returned array is a slice of the raw int16 signal — the trim index
+    is computed in float32 but no sample values change.
+    """
+    sig = signal[: trim.raw_size]
+    region = sig[: trim.trim_scan].astype(np.float32)
+    start = 0
+    if region.size >= trim.trim_window:
+        global_std = region.std()
+        view = np.lib.stride_tricks.sliding_window_view(
+            region, trim.trim_window
+        )[:: trim.trim_stride]
+        stds = view.std(axis=1)
+        good = stds >= trim.trim_threshold * global_std
+        if good.any():
+            start = int(np.argmax(good)) * trim.trim_stride
+    start = min(start, max(sig.size - trim.window, 0))
+    return sig[start : start + trim.scan_size]
+
+
+@dataclasses.dataclass(frozen=True)
 class BatchSpec:
     """Fixed batch geometry (must match the compiled classify program)."""
 
     batch_size: int
     buffer_size: int   # PreprocessConfig.buffer_size (trim headroom + scan)
     dual: bool         # also build the reversed end-of-read buffer
+    # Host-side pre-trim: workers trim open-pore signal and ship only the
+    # scan region (buffer_size == scan_size); the device skips its in-graph
+    # trim (PreprocessConfig.host_trim=True builds the matching program).
+    trim: Optional[TrimSpec] = None
 
 
 # A built batch: (read_ids, start, start_len, end, end_len).  Rows beyond
@@ -60,6 +115,12 @@ def build_batch_arrays(
     ops.preprocess.extract_scan_region).
     """
     buffer = spec.buffer_size
+    trim = spec.trim
+    if trim is not None and trim.scan_size != buffer:
+        raise ValueError(
+            f"pre-trimmed buffers must be scan_size ({trim.scan_size}), "
+            f"spec has buffer_size {buffer}"
+        )
     ids: List[str] = []
     # int16 end-to-end on the host: raw DAC values are int16 natively and the
     # device casts to f32 in-graph — this halves host→device transfer bytes
@@ -71,11 +132,15 @@ def build_batch_arrays(
 
     for i, (read_id, signal) in enumerate(reads):
         ids.append(read_id)
-        n = min(signal.size, buffer)
-        start[i, :n] = signal[:n]
+        head = pretrim_read(signal, trim) if trim is not None else signal
+        n = min(head.size, buffer)
+        start[i, :n] = head[:n]
         start_len[i] = n
         if spec.dual:
-            tail = signal[-n:] if signal.size else signal
-            end[i, :n] = tail[::-1]
-            end_len[i] = n
+            tail = signal[::-1]
+            if trim is not None:
+                tail = pretrim_read(tail, trim)
+            m = min(tail.size, buffer)
+            end[i, :m] = tail[:m]
+            end_len[i] = m
     return ids, start, start_len, end, end_len

@@ -116,7 +116,10 @@ def build_torch_model(net_cfg, variables):
 def preprocess_read(signal: np.ndarray, pre_cfg) -> np.ndarray:
     """Host-side trim + window + normalise, mirroring ops.preprocess."""
     window, stride = pre_cfg.window, pre_cfg.stride
-    sig = signal[: pre_cfg.buffer_size].astype(np.float32)
+    # Raw region = trim headroom + scan, regardless of where the pipeline
+    # under test runs its trim (host_trim shrinks buffer_size to scan_size,
+    # but this oracle always trims host-side from the full raw slice).
+    sig = signal[: pre_cfg.trim_scan + pre_cfg.scan_size].astype(np.float32)
     region = sig[: pre_cfg.trim_scan]
     trim = 0
     if region.size >= pre_cfg.trim_window:

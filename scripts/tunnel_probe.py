@@ -42,18 +42,22 @@ def main() -> None:
                       "ms": round(dt1 * 1e3, 1),
                       "mb_per_s": round(7.3 / dt1, 1)}), flush=True)
 
-    # 2-thread concurrent uploads: does the tunnel multiplex?
-    t0 = time.monotonic()
-    threads = [threading.Thread(target=upload_loop, args=(4,))
-               for _ in range(2)]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    dt2 = (time.monotonic() - t0) / 8
-    print(json.dumps({"probe": "upload_2threads",
-                      "ms_per_batch": round(dt2 * 1e3, 1),
-                      "aggregate_mb_per_s": round(7.3 / dt2, 1)}), flush=True)
+    # N-thread concurrent uploads: how far does the tunnel multiplex?
+    for nthreads in (2, 3, 4, 6):
+        per_thread = 12 // nthreads
+        total = per_thread * nthreads
+        t0 = time.monotonic()
+        threads = [threading.Thread(target=upload_loop, args=(per_thread,))
+                   for _ in range(nthreads)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        dtn = (time.monotonic() - t0) / total
+        print(json.dumps({"probe": f"upload_{nthreads}threads",
+                          "ms_per_batch": round(dtn * 1e3, 1),
+                          "aggregate_mb_per_s": round(7.3 / dtn, 1)}),
+              flush=True)
 
     # Small-array D2H round-trip (the per-batch drain cost)
     dev_small = jax.device_put(jnp.asarray(small))
