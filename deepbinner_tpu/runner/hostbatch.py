@@ -60,28 +60,72 @@ class TrimSpec:
         return self.trim_scan + self.scan_size
 
 
-def pretrim_read(signal: np.ndarray, trim: TrimSpec) -> np.ndarray:
-    """Trim open-pore signal from a read end; returns ≤ scan_size samples.
+def trim_starts_batch(
+    raw: np.ndarray, lengths: np.ndarray, trim: TrimSpec
+) -> np.ndarray:
+    """Vectorised trim indices for a zero-padded ``(n, raw_size)`` batch.
 
-    Exactly the device trim's math on the unpadded signal (the masked-sum
-    device formulation reduces to plain mean/std when no padding exists;
-    parity-tested against the in-graph path in tests/test_host_trim.py).
-    The returned array is a slice of the raw int16 signal — the trim index
-    is computed in float32 but no sample values change.
+    The device trim's exact math (ops.preprocess.find_signal_start:
+    masked f32 global std + cumsum rolling variance at static stride),
+    computed for every row at once — one numpy pass per batch instead of
+    ~512 small per-read calls, which matters on the 2-vCPU bench host
+    where worker CPU is the throughput wall once the tunnel stops being
+    one.  Returns ``(n,)`` int64 trim offsets.
+    """
+    t = min(trim.trim_scan, raw.shape[1])
+    region = raw[:, :t].astype(np.float32)
+    valid_i = np.clip(lengths, 0, t).astype(np.int64)
+    valid = valid_i.astype(np.float32)[:, None]
+    denom = np.maximum(valid, 1.0)
+
+    window, stride = trim.trim_window, trim.trim_stride
+    n_out = (t - window) // stride + 1
+    if n_out <= 0:
+        return np.zeros(raw.shape[0], np.int64)
+    zeros = np.zeros((raw.shape[0], 1), np.float32)
+    sq = region * region
+    c1 = np.concatenate([zeros, np.cumsum(region, axis=1)], axis=1)
+    c2 = np.concatenate([zeros, np.cumsum(sq, axis=1)], axis=1)
+
+    # Global stats over the valid samples, read straight off the cumsums
+    # (padding past `valid` is zero, so c1[row, valid] == sum of the row).
+    rows = np.arange(raw.shape[0])
+    g1 = c1[rows, valid_i][:, None]
+    g2 = c2[rows, valid_i][:, None]
+    mean = g1 / denom
+    var = g2 / denom - mean * mean
+    global_std = np.sqrt(np.maximum(var, 0.0))
+    starts = np.arange(n_out) * stride
+    s1 = c1[:, starts + window] - c1[:, starts]
+    s2 = c2[:, starts + window] - c2[:, starts]
+    win_mean = s1 / window
+    win_std = np.sqrt(np.maximum(s2 / window - win_mean * win_mean, 0.0))
+
+    win_end = (starts + window)[None, :]
+    in_valid = win_end <= valid  # windows straddling the pad boundary excluded
+    good = (win_std >= trim.trim_threshold * global_std) & in_valid
+    any_good = good.any(axis=1)
+    first = good.argmax(axis=1)
+    start = np.where(any_good, first * stride, 0)
+    # Never trim so far that fewer than `window` samples remain.
+    return np.minimum(start, np.maximum(lengths - trim.window, 0))
+
+
+def pretrim_read(signal: np.ndarray, trim: TrimSpec) -> np.ndarray:
+    """Trim open-pore signal from one read end; returns ≤ scan_size samples.
+
+    Single-read wrapper over :func:`trim_starts_batch` so the per-read and
+    batched paths are ONE implementation (parity vs the in-graph trim is
+    pinned in tests/test_host_trim.py).  The returned array is a slice of
+    the raw int16 signal — the trim index is computed in float32 but no
+    sample values change.
     """
     sig = signal[: trim.raw_size]
-    region = sig[: trim.trim_scan].astype(np.float32)
-    start = 0
-    if region.size >= trim.trim_window:
-        global_std = region.std()
-        view = np.lib.stride_tricks.sliding_window_view(
-            region, trim.trim_window
-        )[:: trim.trim_stride]
-        stds = view.std(axis=1)
-        good = stds >= trim.trim_threshold * global_std
-        if good.any():
-            start = int(np.argmax(good)) * trim.trim_stride
-    start = min(start, max(sig.size - trim.window, 0))
+    padded = np.zeros((1, trim.raw_size), np.float32)
+    padded[0, : sig.size] = sig
+    start = int(trim_starts_batch(
+        padded, np.asarray([sig.size]), trim
+    )[0])
     return sig[start : start + trim.scan_size]
 
 
@@ -130,17 +174,50 @@ def build_batch_arrays(
     end = np.zeros((spec.batch_size, buffer), np.int16) if spec.dual else None
     end_len = np.zeros((spec.batch_size,), np.int32) if spec.dual else None
 
+    if trim is not None:
+        # Vectorised path: pad raw heads (and reversed tails) into one
+        # matrix, trim every row in one numpy pass, gather the scan
+        # regions with take_along_axis.  Equivalent to per-read
+        # pretrim_read (same trim_starts_batch math; pinned by
+        # tests/test_host_trim.py) but ~an order of magnitude less Python
+        # per batch — worker CPU is the wall on small hosts.
+        n_reads = len(reads)
+        raw = np.zeros((n_reads, trim.raw_size), np.int16)
+        raw_len = np.zeros((n_reads,), np.int64)
+        tails = np.zeros_like(raw) if spec.dual else None
+        for i, (read_id, signal) in enumerate(reads):
+            ids.append(read_id)
+            k = min(signal.size, trim.raw_size)
+            raw[i, :k] = signal[:k]
+            raw_len[i] = k
+            if spec.dual:
+                tails[i, :k] = signal[signal.size - k :][::-1]
+
+        def gather(mat: np.ndarray, out: np.ndarray, out_len: np.ndarray) -> None:
+            offs = trim_starts_batch(mat, raw_len, trim)
+            # offs ≤ trim_scan by construction (the variance search never
+            # sees past the trim region), so offs+scan_size ≤ raw_size and
+            # each row slice below is in bounds.  A per-row slice copy
+            # beats take_along_axis ~10× here: the (n, scan_size) index
+            # matrix alone costs more to build than 512 memcpys.
+            scan = trim.scan_size
+            for i in range(mat.shape[0]):
+                o = offs[i]
+                out[i] = mat[i, o : o + scan]
+            out_len[:n_reads] = np.clip(raw_len - offs, 0, scan)
+
+        gather(raw, start[:n_reads], start_len)
+        if spec.dual:
+            gather(tails, end[:n_reads], end_len)
+        return ids, start, start_len, end, end_len
+
     for i, (read_id, signal) in enumerate(reads):
         ids.append(read_id)
-        head = pretrim_read(signal, trim) if trim is not None else signal
-        n = min(head.size, buffer)
-        start[i, :n] = head[:n]
+        n = min(signal.size, buffer)
+        start[i, :n] = signal[:n]
         start_len[i] = n
         if spec.dual:
-            tail = signal[::-1]
-            if trim is not None:
-                tail = pretrim_read(tail, trim)
-            m = min(tail.size, buffer)
-            end[i, :m] = tail[:m]
-            end_len[i] = m
+            tail = signal[-n:] if signal.size else signal
+            end[i, :n] = tail[::-1]
+            end_len[i] = n
     return ids, start, start_len, end, end_len

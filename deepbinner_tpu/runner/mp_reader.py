@@ -12,8 +12,12 @@ classify.py synchronously — SURVEY.md §3.1).
 
 Workers are spawned (not forked): the parent has live JAX/axon threads that
 must not leak into children.  Arrays travel over a multiprocessing queue
-(pickle = one memcpy); workers can pre-trim signals to the head/tail slices
-classify actually consumes, cutting queue bytes ~4x on long reads.
+(pickle = one memcpy).  In batch mode queue bytes are bounded by the
+fixed-shape batch buffers regardless of raw read length, and when the
+BatchSpec carries a TrimSpec the workers also run the open-pore trim
+(hostbatch.pretrim_read) so each read contributes only the scan region.
+In read-stream mode `_trim_signal` bounds per-read bytes to the head/tail
+slices classify consumes.
 
 `ReaderPool` keeps the workers alive across passes (each pass = one call to
 `iter_reads`) so process spawn + import cost is paid once — the bench's warm

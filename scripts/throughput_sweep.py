@@ -17,8 +17,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import bench as B  # noqa: E402
 
 from deepbinner_tpu.runner.executor import (  # noqa: E402
-    BatchSpec,
     ExecutorStats,
+    batch_spec_for,
     classify_batches,
 )
 from deepbinner_tpu.runner.mp_reader import ReaderPool  # noqa: E402
@@ -26,10 +26,12 @@ from deepbinner_tpu.utils.fast5 import find_all_fast5s  # noqa: E402
 
 CONFIGS = [
     # (batch, workers, in_flight, prefetch, dispatch_threads, tag)
+    (512, 2, 6, 3, 3, "default"),
     (512, 2, 4, 3, 2, "dt2"),
-    (512, 2, 6, 4, 3, "dt3"),
     (512, 2, 8, 6, 4, "dt4"),
-    (1024, 2, 6, 4, 3, "big_dt3"),
+    (768, 2, 6, 3, 3, "b768"),
+    (1024, 2, 6, 3, 3, "b1024"),
+    (512, 3, 6, 3, 3, "w3"),
 ]
 
 
@@ -45,8 +47,7 @@ def main() -> None:
           file=sys.stderr, flush=True)
 
     for batch, workers, in_flight, prefetch, dispatch_threads, tag in CONFIGS:
-        spec = BatchSpec(batch_size=batch,
-                         buffer_size=cfg.preprocess.buffer_size, dual=False)
+        spec = batch_spec_for(cfg.preprocess, batch, False)
         with ReaderPool(num_workers=workers, batch_spec=spec) as pool:
             per_pass = []
             for timed in (False, True, True):
