@@ -53,6 +53,16 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int),
         ]
         lib.db_read_fast5.restype = ctypes.c_int
+        # int db_read_fast5_slices(path, head, tail, out, count) — head/tail
+        # > 0 decode only those end slices of each signal.
+        lib.db_read_fast5_slices.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.POINTER(_ReadOut)),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.db_read_fast5_slices.restype = ctypes.c_int
         lib.db_free_reads.argtypes = [ctypes.POINTER(_ReadOut), ctypes.c_int]
         lib.db_free_reads.restype = None
         _lib = lib
@@ -71,19 +81,22 @@ def available() -> bool:
     return _load() is not None
 
 
-def read_file(path: str) -> List[Tuple[str, np.ndarray]]:
+def read_file(path: str, head: int = 0,
+              tail: int = 0) -> List[Tuple[str, np.ndarray]]:
     """Read all raw-signal reads from one fast5 via the C++ reader.
 
     Matches the h5py backend's contract exactly (same read ids, same int16
     arrays) — the parity test in tests/test_native.py enforces it.
+    ``head``/``tail`` > 0 decode only those end slices per signal (HDF5
+    hyperslab selections, skipping the bulk of long reads).
     """
     lib = _load()
     if lib is None:
         raise RuntimeError("native fast5 reader not built")
     out = ctypes.POINTER(_ReadOut)()
     count = ctypes.c_int(0)
-    status = lib.db_read_fast5(
-        os.fsencode(path), ctypes.byref(out), ctypes.byref(count)
+    status = lib.db_read_fast5_slices(
+        os.fsencode(path), head, tail, ctypes.byref(out), ctypes.byref(count)
     )
     if status != 0:
         raise OSError(f"native fast5 reader failed on {path} (status {status})")

@@ -39,6 +39,9 @@ herr_t H5Dclose(hid_t);
 hid_t H5Dget_space(hid_t);
 herr_t H5Dread(hid_t, hid_t, hid_t, hid_t, hid_t, void *);
 hssize_t H5Sget_simple_extent_npoints(hid_t);
+hid_t H5Screate_simple(int, const hsize_t *, const hsize_t *);
+herr_t H5Sselect_hyperslab(hid_t, int, const hsize_t *, const hsize_t *,
+                           const hsize_t *, const hsize_t *);
 herr_t H5Sclose(hid_t);
 htri_t H5Lexists(hid_t, const char *, hid_t);
 
@@ -71,6 +74,7 @@ constexpr size_t kVariable = static_cast<size_t>(-1);  // H5T_VARIABLE
 constexpr int kIdxName = 0;          // H5_INDEX_NAME
 constexpr int kIterInc = 0;          // H5_ITER_INC
 constexpr int kCsetUtf8 = 1;         // H5T_CSET_UTF8
+constexpr int kSelectSet = 0;        // H5S_SELECT_SET
 
 struct DbRead {
   char read_id[64];
@@ -80,6 +84,8 @@ struct DbRead {
 
 struct Ctx {
   hid_t loc;
+  int64_t head;  // >0: read only the first `head` samples …
+  int64_t tail;  // … and the last `tail` samples (classify's access pattern)
   std::vector<DbRead> reads;
 };
 
@@ -135,8 +141,28 @@ bool read_string_attr(hid_t obj, const char *name, char *buf, size_t cap) {
   return ok;
 }
 
-bool read_signal_dataset(hid_t loc, const char *path, int16_t **out,
-                         int64_t *length) {
+// One hyperslab of `count` samples at file offset `src` into buf+dst.
+bool read_slab(hid_t dset, hid_t space, int16_t *buf, hsize_t buf_len,
+               hsize_t src, hsize_t dst, hsize_t count) {
+  hsize_t start = src;
+  if (H5Sselect_hyperslab(space, kSelectSet, &start, nullptr, &count,
+                          nullptr) < 0) {
+    return false;
+  }
+  hid_t mem = H5Screate_simple(1, &buf_len, nullptr);
+  if (mem < 0) return false;
+  bool ok = false;
+  hsize_t mstart = dst;
+  if (H5Sselect_hyperslab(mem, kSelectSet, &mstart, nullptr, &count,
+                          nullptr) >= 0) {
+    ok = H5Dread(dset, H5T_NATIVE_SHORT_g, mem, space, kDefault, buf) >= 0;
+  }
+  H5Sclose(mem);
+  return ok;
+}
+
+bool read_signal_dataset(hid_t loc, const char *path, int64_t head,
+                         int64_t tail, int16_t **out, int64_t *length) {
   hid_t dset = H5Dopen2(loc, path, kDefault);
   if (dset < 0) return false;
   bool ok = false;
@@ -144,15 +170,39 @@ bool read_signal_dataset(hid_t loc, const char *path, int16_t **out,
   if (space >= 0) {
     hssize_t n = H5Sget_simple_extent_npoints(space);
     if (n >= 0) {
-      auto *buf = static_cast<int16_t *>(std::malloc(sizeof(int16_t) * (n ? n : 1)));
-      if (buf != nullptr &&
-          H5Dread(dset, H5T_NATIVE_SHORT_g, kAllSpace, kAllSpace, kDefault,
-                  buf) >= 0) {
-        *out = buf;
-        *length = static_cast<int64_t>(n);
-        ok = true;
+      if (head > 0 && tail >= 0 && head + tail < n) {
+        // Partial decode: first `head` + last `tail` samples only.  The
+        // concatenation preserves executor.build_batch's head/tail slice
+        // semantics (see mp_reader._trim_signal) while skipping the bulk
+        // of long reads — classify never looks at the middle.
+        hsize_t keep = static_cast<hsize_t>(head + tail);
+        auto *buf = static_cast<int16_t *>(std::malloc(sizeof(int16_t) * keep));
+        if (buf != nullptr &&
+            read_slab(dset, space, buf, keep, 0, 0,
+                      static_cast<hsize_t>(head)) &&
+            (tail == 0 ||
+             read_slab(dset, space, buf, keep,
+                       static_cast<hsize_t>(n - tail),
+                       static_cast<hsize_t>(head),
+                       static_cast<hsize_t>(tail)))) {
+          *out = buf;
+          *length = static_cast<int64_t>(keep);
+          ok = true;
+        } else {
+          std::free(buf);
+        }
       } else {
-        std::free(buf);
+        auto *buf =
+            static_cast<int16_t *>(std::malloc(sizeof(int16_t) * (n ? n : 1)));
+        if (buf != nullptr &&
+            H5Dread(dset, H5T_NATIVE_SHORT_g, kAllSpace, kAllSpace, kDefault,
+                    buf) >= 0) {
+          *out = buf;
+          *length = static_cast<int64_t>(n);
+          ok = true;
+        } else {
+          std::free(buf);
+        }
       }
     }
     H5Sclose(space);
@@ -172,7 +222,8 @@ herr_t single_read_cb(hid_t group, const char *name, const void *, void *op) {
                         sizeof(entry.read_id))) {
     std::strncpy(entry.read_id, name, sizeof(entry.read_id) - 1);
   }
-  if (read_signal_dataset(read_grp, "Signal", &entry.signal, &entry.length)) {
+  if (read_signal_dataset(read_grp, "Signal", ctx->head, ctx->tail,
+                          &entry.signal, &entry.length)) {
     ctx->reads.push_back(entry);
   }
   H5Gclose(read_grp);
@@ -193,7 +244,8 @@ herr_t multi_read_cb(hid_t group, const char *name, const void *, void *op) {
                         sizeof(entry.read_id))) {
     std::strncpy(entry.read_id, name + 5, sizeof(entry.read_id) - 1);
   }
-  if (read_signal_dataset(raw, "Signal", &entry.signal, &entry.length)) {
+  if (read_signal_dataset(raw, "Signal", ctx->head, ctx->tail, &entry.signal,
+                          &entry.length)) {
     ctx->reads.push_back(entry);
   }
   H5Gclose(raw);
@@ -206,7 +258,10 @@ extern "C" {
 
 // Returns 0 on success. *out is a malloc'd array of *count DbRead entries,
 // each owning a malloc'd signal buffer; release with db_free_reads.
-int db_read_fast5(const char *path, DbRead **out, int *count) {
+// head/tail > 0 decode only those end slices of each signal (classify's
+// access pattern); 0/0 decodes everything (prep's).
+int db_read_fast5_slices(const char *path, int64_t head, int64_t tail,
+                         DbRead **out, int *count) {
   std::lock_guard<std::mutex> lock(g_mutex);
   ensure_init();
   *out = nullptr;
@@ -216,6 +271,8 @@ int db_read_fast5(const char *path, DbRead **out, int *count) {
 
   Ctx ctx;
   ctx.loc = file;
+  ctx.head = head;
+  ctx.tail = tail;
   if (H5Lexists(file, "Raw", kDefault) > 0 &&
       H5Lexists(file, "Raw/Reads", kDefault) > 0) {
     hid_t reads_grp = H5Gopen2(file, "Raw/Reads", kDefault);
@@ -238,6 +295,11 @@ int db_read_fast5(const char *path, DbRead **out, int *count) {
   *out = array;
   *count = static_cast<int>(ctx.reads.size());
   return 0;
+}
+
+// Back-compat full-read entry point (the original ABI).
+int db_read_fast5(const char *path, DbRead **out, int *count) {
+  return db_read_fast5_slices(path, 0, 0, out, count);
 }
 
 void db_free_reads(DbRead *array, int count) {

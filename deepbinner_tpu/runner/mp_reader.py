@@ -84,12 +84,23 @@ def _pool_worker(
         if fast5_reader.available():
             fast5_fn = fast5_reader.read_file
 
+    # Decode only the signal slices classify consumes: the head buffer
+    # (and, dual, the tail buffer) per read — HDF5 hyperslab reads skip
+    # the bulk of long reads entirely.  Batch mode derives the bound from
+    # the BatchSpec; stream mode uses the caller's trim_head/trim_tail.
+    if batch_spec is not None:
+        head = (batch_spec.trim.raw_size if batch_spec.trim is not None
+                else batch_spec.buffer_size)
+        tail = head if batch_spec.dual else 0
+    else:
+        head, tail = trim_head, trim_tail
+
     def read_file(path: str):
         # pod5 decodes through pyarrow/zstd (C++ under the hood already);
         # the native C++ reader covers the libhdf5 (fast5) path.
         if fast5_fn is not None and not path.endswith(".pod5"):
-            return fast5_fn(path)
-        return read_signal_file(path)
+            return fast5_fn(path, head, tail)
+        return read_signal_file(path, head, tail)
 
     pending: List[Tuple[str, np.ndarray]] = []
 

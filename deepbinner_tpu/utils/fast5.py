@@ -40,7 +40,29 @@ def find_all_fast5s(directory: str | os.PathLike) -> List[str]:
     return sorted(fast5s)
 
 
-def _iter_single_read_layout(handle) -> Iterator[Tuple[str, np.ndarray]]:
+def _slice_signal(dset, head: int, tail: int) -> np.ndarray:
+    """Read a Signal dataset, optionally only its head+tail samples.
+
+    When ``head > 0`` and the read is longer than ``head + tail``, only
+    those samples cross the HDF5 decode path — classify consumes exactly
+    the first/last buffer of each read, so reading the middle of a long
+    read is pure waste (executor.build_batch's slicing semantics are
+    preserved by the concatenation: first-`head` and last-`tail` slices of
+    the result equal those of the full signal, see mp_reader._trim_signal).
+    """
+    n = int(dset.shape[0]) if dset.shape else 0
+    if head <= 0 or head + max(tail, 0) >= n:
+        return np.asarray(dset[:], dtype=np.int16)
+    if tail > 0:
+        return np.concatenate([
+            np.asarray(dset[:head], dtype=np.int16),
+            np.asarray(dset[n - tail:], dtype=np.int16),
+        ])
+    return np.asarray(dset[:head], dtype=np.int16)
+
+
+def _iter_single_read_layout(handle, head: int = 0,
+                             tail: int = 0) -> Iterator[Tuple[str, np.ndarray]]:
     reads_group = handle.get("Raw/Reads")
     if reads_group is None:
         return
@@ -51,10 +73,11 @@ def _iter_single_read_layout(handle) -> Iterator[Tuple[str, np.ndarray]]:
         read_id = read.attrs.get("read_id", read_name)
         if isinstance(read_id, bytes):
             read_id = read_id.decode()
-        yield str(read_id), np.asarray(read["Signal"][:], dtype=np.int16)
+        yield str(read_id), _slice_signal(read["Signal"], head, tail)
 
 
-def _iter_multi_read_layout(handle) -> Iterator[Tuple[str, np.ndarray]]:
+def _iter_multi_read_layout(handle, head: int = 0,
+                            tail: int = 0) -> Iterator[Tuple[str, np.ndarray]]:
     for key in handle:
         if not key.startswith("read_"):
             continue
@@ -65,16 +88,21 @@ def _iter_multi_read_layout(handle) -> Iterator[Tuple[str, np.ndarray]]:
         read_id = raw.attrs.get("read_id", key[len("read_"):])
         if isinstance(read_id, bytes):
             read_id = read_id.decode()
-        yield str(read_id), np.asarray(raw["Signal"][:], dtype=np.int16)
+        yield str(read_id), _slice_signal(raw["Signal"], head, tail)
 
 
-def iterate_reads_in_fast5(path: str | os.PathLike) -> Iterator[Tuple[str, np.ndarray]]:
-    """Yield (read_id, int16 raw signal) for every read in a fast5 file."""
+def iterate_reads_in_fast5(path: str | os.PathLike, head: int = 0,
+                           tail: int = 0) -> Iterator[Tuple[str, np.ndarray]]:
+    """Yield (read_id, int16 raw signal) for every read in a fast5 file.
+
+    ``head``/``tail`` > 0 read only those end slices of each signal
+    (classify's access pattern); 0 reads everything (prep's).
+    """
     import h5py  # deferred: bin subcommand must not pay for h5py/libhdf5
 
     with h5py.File(path, "r") as handle:
-        yield from _iter_single_read_layout(handle)
-        yield from _iter_multi_read_layout(handle)
+        yield from _iter_single_read_layout(handle, head, tail)
+        yield from _iter_multi_read_layout(handle, head, tail)
 
 
 def find_signal_files(directory: str | os.PathLike) -> List[str]:
@@ -87,17 +115,20 @@ def find_signal_files(directory: str | os.PathLike) -> List[str]:
     return sorted(found)
 
 
-def read_signal_file(path: str) -> List[Tuple[str, np.ndarray]]:
+def read_signal_file(path: str, head: int = 0,
+                     tail: int = 0) -> List[Tuple[str, np.ndarray]]:
     """All reads from one raw-signal container, by extension (ReadFn contract).
 
     fast5 → h5py backend; pod5 → the pure-Python pod5 parser.  This is the
     format-agnostic default the executor and reader workers plug in.
+    ``head``/``tail`` bound the samples decoded per read end (fast5 only —
+    pod5's columnar layout decodes whole signal rows regardless).
     """
     if path.endswith(".pod5"):
         from deepbinner_tpu.utils.pod5 import read_pod5
 
         return read_pod5(path)
-    return list(iterate_reads_in_fast5(path))
+    return list(iterate_reads_in_fast5(path, head, tail))
 
 
 def get_read_id_and_signal(

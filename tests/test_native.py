@@ -86,3 +86,65 @@ def test_dataset_parity_and_speed(native, tmp_path):
         np.testing.assert_array_equal(native_all[read_id], h5py_all[read_id])
     print(f"h5py {t_h5py*1e3:.1f}ms vs native {t_native*1e3:.1f}ms "
           f"for {len(files)} files", file=sys.stderr)
+
+
+def test_sliced_read_parity(native, tmp_path):
+    """head/tail hyperslab reads == the same slices of a full read, on both
+    backends, across the threshold where slicing degenerates to full."""
+    sig = (np.arange(30000) * 3 % 1900).astype(np.int16)
+    path = str(tmp_path / "long.fast5")
+    fast5_io.write_single_read_fast5(path, "read_long", sig, read_number=1)
+    short_path = str(tmp_path / "short.fast5")
+    fast5_io.write_single_read_fast5(short_path, "read_short",
+                                     sig[:3000], read_number=2)
+
+    def expect(full: np.ndarray, head: int, tail: int) -> np.ndarray:
+        if head + tail >= full.size:
+            return full  # shorter than the slices → full signal, untouched
+        if tail == 0:
+            return full[:head]
+        return np.concatenate([full[:head], full[-tail:]])
+
+    for head, tail in [(8192, 0), (8192, 8192), (100, 50)]:
+        for backend in (native.read_file, fast5_io.read_signal_file):
+            [(rid, got)] = backend(path, head, tail)
+            assert rid == "read_long"
+            np.testing.assert_array_equal(got, expect(sig, head, tail),
+                                          err_msg=str(backend))
+            [(rid, got)] = backend(short_path, head, tail)
+            np.testing.assert_array_equal(got, expect(sig[:3000], head, tail),
+                                          err_msg=str(backend))
+
+
+def test_sliced_batches_bit_identical(native, tmp_path):
+    """Batches assembled from slice-read signals == batches from full reads
+    (the worker decode bound must be invisible downstream)."""
+    from deepbinner_tpu.runner.executor import batch_spec_for
+    from deepbinner_tpu.runner.hostbatch import build_batch_arrays
+    from deepbinner_tpu.ops.preprocess import PreprocessConfig
+
+    rng = np.random.default_rng(3)
+    paths = []
+    for i in range(4):
+        sig = rng.integers(200, 800, 25000 + 1000 * i).astype(np.int16)
+        path = str(tmp_path / f"r{i}.fast5")
+        fast5_io.write_single_read_fast5(path, f"read_{i}", sig, read_number=i)
+        paths.append(path)
+
+    pre = PreprocessConfig(host_trim=True)
+    for dual in (False, True):
+        spec = batch_spec_for(pre, 4, dual)
+        head = spec.trim.raw_size
+        tail = head if dual else 0
+        full, sliced = [], []
+        for path in paths:
+            full.extend(native.read_file(path))
+            sliced.extend(native.read_file(path, head, tail))
+        b_full = build_batch_arrays(full, spec)
+        b_slice = build_batch_arrays(sliced, spec)
+        assert b_full[0] == b_slice[0]
+        for a, b in zip(b_full[1:], b_slice[1:]):
+            if a is None:
+                assert b is None
+                continue
+            np.testing.assert_array_equal(a, b, err_msg=f"dual={dual}")
