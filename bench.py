@@ -148,6 +148,11 @@ def measure_tpu(fast5_dir: str, batch_size: int, reader_workers: int,
     program, cfg = _build_program(use_pallas, dual, host_trim=host_trim)
     setup_s = time.monotonic() - t0
     spec = batch_spec_for(cfg.preprocess, batch_size, dual)
+    # H2D payload per batch (int16 signal + int32 lengths, ×2 when dual) —
+    # the denominator for achieved-MB/s so a slow pass is attributable to
+    # the tunnel vs the pipeline (round-3 VERDICT weak #4).
+    per_end = spec.batch_size * (spec.buffer_size * 2 + 4)
+    batch_bytes = per_end * (2 if dual else 1)
 
     print(f"[bench] program built ({setup_s:.1f}s); compiling + first-D2H "
           f"handshake …", file=sys.stderr, flush=True)
@@ -170,6 +175,7 @@ def measure_tpu(fast5_dir: str, batch_size: int, reader_workers: int,
         warm_s = time.monotonic() - t0
 
         per_pass = []
+        per_pass_mbps = []
         n = 0
         for _ in range(max(1, passes)):
             stats = ExecutorStats()
@@ -179,18 +185,66 @@ def measure_tpu(fast5_dir: str, batch_size: int, reader_workers: int,
                 program, pool.iter_batches(files, stats), stats=stats,
             ):
                 n += 1
-            per_pass.append(n / (time.monotonic() - t0))
+            elapsed = time.monotonic() - t0
+            per_pass.append(n / elapsed)
+            per_pass_mbps.append(stats.batches * batch_bytes / elapsed / 1e6)
+
+        link_capacity = measure_link_capacity(batch_bytes)
 
     return {
         "reads": n,
         "reads_per_s": sum(per_pass) / len(per_pass),
         "per_pass_reads_per_s": [round(v, 1) for v in per_pass],
+        "h2d_mbps": round(sum(per_pass_mbps) / len(per_pass_mbps), 1),
+        "per_pass_h2d_mbps": [round(v, 1) for v in per_pass_mbps],
+        "link_capacity_mbps": round(link_capacity, 1) if link_capacity else None,
+        "link_utilization": (
+            round(sum(per_pass_mbps) / len(per_pass_mbps) / link_capacity, 3)
+            if link_capacity else None
+        ),
         "warm_pass_s": round(warm_s, 2),
         "setup_s": round(setup_s, 2),
         "compile_s": compile_s,
         "platform": jax.devices()[0].platform,
         "device": str(jax.devices()[0]),
     }
+
+
+def measure_link_capacity(batch_bytes: int, streams: int = 3,
+                          puts_per_stream: int = 6) -> float:
+    """Achieved H2D capacity of the link RIGHT NOW, in MB/s.
+
+    Uploads bench-sized int16 buffers from `streams` threads (3 = the
+    measured multiplexing sweet spot, scripts/tunnel_probe.py) and returns
+    the aggregate rate.  Measured at bench time — the tunnel's capacity
+    varies day to day, so utilisation% must use a same-run denominator,
+    not a constant.  Costs ~1-2 s; returns 0.0 on any failure (bench must
+    not die for a diagnostic).
+    """
+    import concurrent.futures
+
+    import jax
+    import numpy as np
+
+    try:
+        n = max(1, batch_bytes // 2)
+        bufs = [np.random.default_rng(i).integers(
+            0, 1000, n, dtype=np.int16) for i in range(streams)]
+        dev = jax.devices()[0]
+        jax.device_put(bufs[0], dev).block_until_ready()  # warm path
+
+        def put_many(buf):
+            for _ in range(puts_per_stream):
+                jax.device_put(buf, dev).block_until_ready()
+
+        t0 = time.monotonic()
+        with concurrent.futures.ThreadPoolExecutor(streams) as pool:
+            list(pool.map(put_many, bufs))
+        elapsed = time.monotonic() - t0
+        return streams * puts_per_stream * batch_bytes / elapsed / 1e6
+    except Exception as error:  # noqa: BLE001
+        print(f"[bench] link capacity probe failed: {error}", file=sys.stderr)
+        return 0.0
 
 
 def measure_latency(batch_size: int = 16, trials: int = 20) -> dict:
@@ -229,16 +283,19 @@ def measure_latency(batch_size: int = 16, trials: int = 20) -> dict:
     }
 
 
-def measure_baseline(n_reads: int = 256) -> dict:
+def measure_baseline(n_reads: int = 256, repeats: int = 3) -> dict:
     """Reference-equivalent torch-CPU pipeline reads/s on this host.
 
     Batched the way the reference batches — every window of a 256-read
     chunk stacked into one forward (SURVEY.md §3.1) — with the combine and
     call rules an exact numpy port of ops.calling (parity-tested in
-    tests/test_torch_baseline.py).  Host-load metadata is recorded so a
-    contended measurement is diagnosable after the fact (round-2 VERDICT
-    weak #8), and the contract run re-measures alongside the TPU number
-    rather than trusting a stale cache.
+    tests/test_torch_baseline.py).  The reported rate is the MEDIAN of
+    `repeats` measurement passes with the min/median/max spread recorded:
+    this 2-core host's rate swings ±40% run-to-run under load, and the
+    headline multiple's denominator must be attributable (round-3 VERDICT
+    weak #2).  Host-load metadata is recorded so a contended measurement
+    is diagnosable after the fact, and the contract run re-measures
+    alongside the TPU number rather than trusting a stale cache.
     """
     import torch
 
@@ -260,13 +317,22 @@ def measure_baseline(n_reads: int = 256) -> dict:
     for path in files:
         reads.extend(iterate_reads_in_fast5(path))
     classify(reads[: min(32, len(reads))])  # warm-up
-    t0 = time.monotonic()
-    results = classify(reads)
-    elapsed = time.monotonic() - t0
+    rates = []
+    n_results = 0
+    for _ in range(max(1, repeats)):
+        t0 = time.monotonic()
+        results = classify(reads)
+        elapsed = time.monotonic() - t0
+        n_results = len(results)
+        rates.append(n_results / elapsed)
+    rates.sort()
+    median = rates[len(rates) // 2]
     return {
-        "reads": len(results),
-        "reads_per_s": len(results) / elapsed,
-        "elapsed_s": elapsed,
+        "reads": n_results,
+        "reads_per_s": median,
+        "spread_reads_per_s": [round(rates[0], 2), round(median, 2),
+                               round(rates[-1], 2)],
+        "repeats": len(rates),
         "torch_threads": torch.get_num_threads(),
         "cpu_count": os.cpu_count(),
         "loadavg_1m": round(os.getloadavg()[0], 2),
@@ -355,6 +421,13 @@ def main() -> None:
         "value": round(value, 2),
         "unit": "reads/s/chip",
         "vs_baseline": round(vs, 2) if vs else None,
+        # Diagnostics: the denominator's run-to-run spread (min/median/max of
+        # 3 CPU passes) and the tunnel wall (achieved H2D vs a same-run
+        # capacity probe) so a slow headline is attributable ex post.
+        "baseline_spread": baseline.get("spread_reads_per_s"),
+        "link_mbps": result.get("h2d_mbps"),
+        "link_capacity_mbps": result.get("link_capacity_mbps"),
+        "link_utilization": result.get("link_utilization"),
     }))
     sys.stdout.flush()
     # Details to stderr for humans; the JSON line above is the contract.
@@ -363,9 +436,12 @@ def main() -> None:
         f"{result['per_pass_reads_per_s']} reads/s on {result['device']} "
         f"(setup {result['setup_s']}s, compile+first-D2H "
         f"{result['compile_s']:.1f}s, "
-        f"warm pass {result['warm_pass_s']}s); "
+        f"warm pass {result['warm_pass_s']}s, "
+        f"H2D {result['per_pass_h2d_mbps']} MB/s of "
+        f"{result['link_capacity_mbps']} MB/s capacity); "
         f"baseline {baseline['reads_per_s']:.2f} "
-        f"reads/s ({baseline.get('kind', 'cached')})",
+        f"reads/s spread {baseline.get('spread_reads_per_s')} "
+        f"({baseline.get('kind', 'cached')})",
         file=sys.stderr,
     )
 

@@ -51,3 +51,29 @@ def test_stock_model_classifies(name, kit, end):
     assert meta.get("kit") == kit
     correct = sum(1 for rid, t in truth.items() if calls[rid] == t)
     assert correct >= 3, f"{name}: only {correct}/4 correct ({calls})"
+
+
+def test_stock_model_accuracy_floor():
+    """CI accuracy floor: a retrain can't silently regress what BASELINE.md
+    rows 2-3 claim (round-3 VERDICT weak #6 / next-round item 8).
+
+    40 fresh-seed simulated reads (3 per barcode + 4 none), EXP-NBD103
+    starts model: ≥95% exact calls, ZERO wrong-barcode assignments.  The
+    full accuracy evidence (130-read fresh-seed evals, robustness table)
+    lives in scripts/eval_dual.py / eval_robustness.py runs recorded in
+    BASELINE.md; this is the in-suite regression gate.
+    """
+    path = os.path.join(DATA, "EXP-NBD103_read_starts.dbt")
+    # 3 reads per barcode (36) + 4 none reads = 40; seed 977 was never used
+    # by training (train_models.py uses small fixed seeds) or other evals.
+    barcodes = [b for b in range(1, 13) for _ in range(3)] + [0] * 4
+    calls, truth, _meta = _classify_reads(
+        path, "EXP-NBD103", "start", barcodes, seed=977
+    )
+    exact = sum(1 for rid, t in truth.items() if calls[rid] == t)
+    wrong = sum(1 for rid, t in truth.items() if calls[rid] not in (t, 0))
+    assert wrong == 0, (
+        f"wrong-barcode calls: "
+        f"{[(rid, truth[rid], calls[rid]) for rid, t in truth.items() if calls[rid] not in (t, 0)]}"
+    )
+    assert exact >= 38, f"exact {exact}/40 < 95% floor ({calls})"
