@@ -96,7 +96,8 @@ def _pool_worker(
         head, tail = trim_head, trim_tail
 
     def read_file(path: str):
-        # pod5 decodes through pyarrow/zstd (C++ under the hood already);
+        # pod5 decodes through pyarrow/zstd (C++ under the hood already) and
+        # honours head/tail chunk-lazily (utils.pod5._decode_read_signal);
         # the native C++ reader covers the libhdf5 (fast5) path.
         if fast5_fn is not None and not path.endswith(".pod5"):
             return fast5_fn(path, head, tail)

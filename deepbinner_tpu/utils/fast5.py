@@ -121,13 +121,14 @@ def read_signal_file(path: str, head: int = 0,
 
     fast5 → h5py backend; pod5 → the pure-Python pod5 parser.  This is the
     format-agnostic default the executor and reader workers plug in.
-    ``head``/``tail`` bound the samples decoded per read end (fast5 only —
-    pod5's columnar layout decodes whole signal rows regardless).
+    ``head``/``tail`` bound the samples decoded per read end in BOTH formats:
+    HDF5 hyperslab slices for fast5, chunk-lazy vbz decode for pod5 (only
+    the 102,400-sample chunks covering the slices are decompressed).
     """
     if path.endswith(".pod5"):
         from deepbinner_tpu.utils.pod5 import read_pod5
 
-        return read_pod5(path)
+        return read_pod5(path, head, tail)
     return list(iterate_reads_in_fast5(path, head, tail))
 
 

@@ -283,8 +283,55 @@ def write_pod5(path: str | os.PathLike,
     os.replace(tmp, path)
 
 
-def read_pod5(path: str | os.PathLike) -> List[Tuple[str, np.ndarray]]:
-    """Read every read in a pod5 file → [(read_id, int16 signal)]."""
+def _decode_read_signal(
+    payloads, samples, indices, head: int, tail: int
+) -> np.ndarray:
+    """Decode one read's signal from its vbz chunk rows, chunk-lazily.
+
+    ``head``/``tail`` > 0 decode ONLY the chunks overlapping the first
+    ``head`` / last ``tail`` samples and return their concatenation —
+    exactly :func:`runner.mp_reader._trim_signal`'s slices of the full
+    signal, at the cost of the covering chunks instead of the whole read.
+    Possible because the writer compresses each SIGNAL_CHUNK_SIZE chunk
+    independently (vbz delta coding restarts per chunk), so a chunk is the
+    random-access unit; fast5 gets the same treatment via HDF5 hyperslabs
+    (utils/fast5._slice_signal).  With the default 102,400-sample chunks a
+    dual-model classify decodes ≤2 chunks per end of a long read instead
+    of all of them.
+    """
+    counts = [int(samples[int(i)]) for i in indices]
+    total = sum(counts)
+    if head <= 0 or head + max(tail, 0) >= total:
+        chunks = [vbz_decompress(payloads[int(i)], c)
+                  for i, c in zip(indices, counts)]
+        return np.concatenate(chunks) if chunks else np.zeros(0, np.int16)
+
+    parts: List[np.ndarray] = []
+    tail_lo = total - tail  # first sample index the tail slice needs
+    offset = 0
+    for i, count in zip(indices, counts):
+        lo, hi = offset, offset + count
+        offset = hi
+        need_head = lo < head          # chunk overlaps [0, head)
+        need_tail = tail > 0 and hi > tail_lo  # overlaps [total-tail, total)
+        if not (need_head or need_tail):
+            continue  # untouched chunk: never decompressed
+        chunk = vbz_decompress(payloads[int(i)], count)
+        if need_head:
+            parts.append(chunk[: max(0, min(head - lo, count))])
+        if need_tail:
+            parts.append(chunk[max(0, tail_lo - lo):])
+    return np.concatenate(parts) if parts else np.zeros(0, np.int16)
+
+
+def read_pod5(path: str | os.PathLike, head: int = 0,
+              tail: int = 0) -> List[Tuple[str, np.ndarray]]:
+    """Read every read in a pod5 file → [(read_id, int16 signal)].
+
+    ``head``/``tail`` > 0 decode only the vbz chunks covering each read's
+    first-``head``/last-``tail`` samples (classify's access pattern — see
+    :func:`_decode_read_signal`); 0 decodes everything (prep's).
+    """
     import pyarrow as pa
 
     with open(path, "rb") as handle:
@@ -315,9 +362,7 @@ def read_pod5(path: str | os.PathLike) -> List[Tuple[str, np.ndarray]]:
     uuid_col = reads_table.column("read_id").to_pylist()
     index_col = reads_table.column("signal").to_pylist()
     for row, indices in enumerate(index_col):
-        chunks = [vbz_decompress(payloads[int(i)], int(samples[int(i)]))
-                  for i in indices]
-        signal = np.concatenate(chunks) if chunks else np.zeros(0, np.int16)
+        signal = _decode_read_signal(payloads, samples, indices, head, tail)
         read_id = (id_strings[row] if id_strings is not None
                    else str(uuid.UUID(bytes=uuid_col[row])))
         out.append((read_id, signal))
