@@ -140,9 +140,13 @@ def _pool_worker(
                 if len(pending) == batch_spec.batch_size:
                     emit_batch(pass_id)
         else:
+            # Stream mode carries the source path so consumers that act on
+            # FILES (realtime's move-into-bin) can map reads back without
+            # touching the decoder themselves.
             for read_id, signal in reads:
                 out_queue.put((pass_id, read_id,
-                               _trim_signal(signal, trim_head, trim_tail)))
+                               _trim_signal(signal, trim_head, trim_tail),
+                               path))
 
 
 class ReaderPool:
@@ -231,11 +235,26 @@ class ReaderPool:
         stats: Optional[ExecutorStats] = None,
     ) -> Iterator[Tuple[str, np.ndarray]]:
         """One pass: yield (read_id, int16 signal) in completion order."""
+        for read_id, signal, _path in self.iter_reads_with_paths(
+            fast5_paths, stats
+        ):
+            yield read_id, signal
+
+    def iter_reads_with_paths(
+        self,
+        fast5_paths: Sequence[str],
+        stats: Optional[ExecutorStats] = None,
+    ) -> Iterator[Tuple[str, np.ndarray, str]]:
+        """One pass: yield (read_id, int16 signal, source path).
+
+        The path lets file-granular consumers (realtime moves whole files
+        into per-barcode bins) route results without re-reading anything.
+        """
         if self.batch_spec is not None:
             raise RuntimeError("pool is in batch mode; use iter_batches")
-        for read_id, signal in self._drain_pass(fast5_paths,
-                                                stats or ExecutorStats()):
-            yield read_id, signal
+        for read_id, signal, path in self._drain_pass(fast5_paths,
+                                                      stats or ExecutorStats()):
+            yield read_id, signal, path
 
     def iter_batches(
         self,

@@ -100,6 +100,97 @@ def test_realtime_stop_file(tmp_path, tiny_model):
     assert time.monotonic() - t0 < 60  # exits promptly (includes compile)
 
 
+def test_watch_state_bounded():
+    """Seen/attempt bookkeeping is pruned to the current directory listing.
+
+    Over a multi-day run with millions of files moving through in_dir, the
+    watcher must hold state only for files still present (round-3 VERDICT
+    weak #8), while abandoned (still-present) files stay remembered.
+    """
+    from deepbinner_tpu.cli.realtime import _MAX_ATTEMPTS, _WatchState
+
+    state = _WatchState()
+    # 1000 files were sorted (moved out); one bad file stays in in_dir.
+    for i in range(1000):
+        state.done.add(f"/in/read_{i}.fast5")
+    for _ in range(_MAX_ATTEMPTS):
+        state.record_attempt("/in/bad.fast5", unreadable=True)
+    assert "/in/bad.fast5" in state.done  # abandoned after max attempts
+
+    # Next scan: only the bad file and one new file remain in in_dir.
+    state.prune({"/in/bad.fast5", "/in/new.fast5"})
+    assert state.done == {"/in/bad.fast5"}
+    assert state.attempts == {"/in/bad.fast5": _MAX_ATTEMPTS}
+
+    # A readable-but-unclassifiable file is given up on immediately.
+    state.record_attempt("/in/new.fast5", unreadable=False)
+    assert "/in/new.fast5" in state.done
+    # Both files left the directory → state empties completely.
+    state.prune(set())
+    assert not state.done and not state.attempts
+
+
+def test_realtime_soak_reader_pool(tmp_path, tiny_model, monkeypatch):
+    """Sustained producer through the ReaderPool path (round-4 item 5).
+
+    Files arrive continuously across ≥20 poll cycles; every file must be
+    sorted, and the TPU-client process must never decode a signal file
+    itself — in-parent decode entry points are poisoned to prove decode
+    happens only in the worker processes.
+    """
+    from deepbinner_tpu.cli import realtime as rt
+
+    def poison(*_a, **_k):
+        raise AssertionError(
+            "realtime decoded a file in the client process"
+        )
+
+    # _classify_new_files (the in-process variant) must not run at all when
+    # the pool path is forced; poison both it and the module's read fn.
+    monkeypatch.setattr(rt, "read_signal_file", poison)
+    monkeypatch.setattr(rt, "_classify_new_files", poison)
+
+    in_dir = tmp_path / "incoming"
+    out_dir = tmp_path / "sorted"
+    in_dir.mkdir()
+    n_reads = 24
+    stop = tmp_path / "stop"
+    producer = threading.Thread(
+        target=_producer, args=(str(in_dir), n_reads, 0.1), daemon=True
+    )
+
+    def monitor():
+        deadline = time.monotonic() + 180
+        while time.monotonic() < deadline:
+            moved = sum(len(names) for _r, _d, names in os.walk(out_dir))
+            if moved >= n_reads:
+                break
+            time.sleep(0.2)
+        stop.write_text("")
+
+    watcher = threading.Thread(target=monitor, daemon=True)
+    producer.start()
+    watcher.start()
+    main([
+        "realtime", "--in_dir", str(in_dir), "--out_dir", str(out_dir),
+        "-s", tiny_model, "--scan_size", "768", "--batch_size", "8",
+        "--min_score", "0.0", "--score_diff", "0.0",
+        "--poll_interval", "0.05", "--stop_file", str(stop),
+        "--reader_processes", "1", "--no_native_reader",
+    ])
+    producer.join()
+    watcher.join()
+    remaining = [f for f in os.listdir(in_dir) if f.endswith(".fast5")]
+    assert remaining == []
+    moved = [
+        name
+        for _root, _dirs, names in os.walk(out_dir)
+        for name in names
+        if name.endswith(".fast5")
+    ]
+    assert len(moved) == n_reads
+
+
 def test_realtime_skips_garbage_but_retries(tmp_path, tiny_model):
     """A persistently unreadable file is abandoned, not looped forever."""
     in_dir = tmp_path / "incoming"
