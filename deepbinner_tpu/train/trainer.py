@@ -184,7 +184,19 @@ class Trainer:
         self.model, state = init_train_state(rng, cfg)
         replicated = mesh_lib.replicated(self.mesh)
         batch_sh = mesh_lib.batch_sharding(self.mesh)
-        self.state = jax.device_put(state, replicated)
+        self._replicated = replicated
+        self._batch_sh = batch_sh
+        # A mesh spanning other processes' devices (multi-host dp training)
+        # cannot receive host numpy through device_put/jnp.asarray — inputs
+        # are committed via make_array_from_callback instead, each process
+        # contributing the shard rows its devices own (_on_mesh).  Every
+        # process passes the IDENTICAL global batch; XLA inserts the
+        # cross-host gradient all-reduce.
+        self._multiprocess = any(
+            d.process_index != jax.process_index()
+            for d in self.mesh.devices.flat
+        )
+        self.state = self._put_replicated(state)
         window = cfg.network.input_length
         self._train_step = jax.jit(
             lambda state, sig, lab, wts, rng: train_step(
@@ -199,7 +211,33 @@ class Trainer:
             in_shardings=(replicated, batch_sh, batch_sh),
             out_shardings=replicated,
         )
-        self._data_rng = jax.random.PRNGKey(cfg.seed + 1)
+        self._data_rng = self._on_mesh(
+            jax.random.PRNGKey(cfg.seed + 1), replicated
+        )
+
+    def _on_mesh(self, arr, sharding):
+        """Commit a host array to `sharding`; multi-process-safe.
+
+        Single process: plain device_put.  Multi-process: the caller holds
+        the FULL global array (identical on every process — same data file,
+        same seed); make_array_from_callback hands each addressable device
+        exactly the rows its shard index selects, which for batch_sharding
+        means this process feeds the slice of the global batch its devices
+        own, and for replicated shardings the whole array.
+        """
+        arr = np.asarray(arr)
+        if not self._multiprocess:
+            return jax.device_put(arr, sharding)
+        return jax.make_array_from_callback(
+            arr.shape, sharding, lambda idx: arr[idx]
+        )
+
+    def _put_replicated(self, tree):
+        if not self._multiprocess:
+            return jax.device_put(tree, self._replicated)
+        return jax.tree_util.tree_map(
+            lambda leaf: self._on_mesh(leaf, self._replicated), tree
+        )
 
     @property
     def data_parallelism(self) -> int:
@@ -210,8 +248,11 @@ class Trainer:
         if weights is None:
             weights = np.ones((len(labels),), np.float32)
         self.state, metrics = self._train_step(
-            self.state, jnp.asarray(signals), jnp.asarray(labels),
-            jnp.asarray(weights, dtype=jnp.float32), self._data_rng,
+            self.state,
+            self._on_mesh(signals, self._batch_sh),
+            self._on_mesh(labels, self._batch_sh),
+            self._on_mesh(np.asarray(weights, np.float32), self._batch_sh),
+            self._data_rng,
         )
         return metrics
 
@@ -227,7 +268,11 @@ class Trainer:
             if pad:
                 sig = np.concatenate([sig, np.repeat(sig[-1:], pad, 0)])
                 lab = np.concatenate([lab, np.repeat(lab[-1:], pad, 0)])
-            metrics = self._eval_step(self.state, jnp.asarray(sig), jnp.asarray(lab))
+            metrics = self._eval_step(
+                self.state,
+                self._on_mesh(sig, self._batch_sh),
+                self._on_mesh(lab, self._batch_sh),
+            )
             # rows beyond `true` are duplicated padding — excluded exactly
             totals["loss"] += float(np.asarray(metrics["loss"])[:true].sum())
             totals["accuracy"] += float(np.asarray(metrics["correct"])[:true].sum())
@@ -237,6 +282,10 @@ class Trainer:
     # -- checkpoint / resume ------------------------------------------------
 
     def save_checkpoint(self, directory: str, epoch: int) -> None:
+        # Multi-host: state is replicated, so every process holds the same
+        # bytes — only process 0 writes (shared storage would race).
+        if self._multiprocess and jax.process_index() != 0:
+            return
         os.makedirs(directory, exist_ok=True)
         state = jax.device_get(self.state)
         payload = serialization.to_bytes(state)
@@ -252,7 +301,7 @@ class Trainer:
             payload = handle.read()
         template = jax.device_get(self.state)
         state = serialization.from_bytes(template, payload)
-        self.state = jax.device_put(state, mesh_lib.replicated(self.mesh))
+        self.state = self._put_replicated(state)
         with open(os.path.join(directory, "meta.json")) as handle:
             return int(json.load(handle)["epoch"])
 
@@ -382,8 +431,20 @@ def train_from_args(args) -> None:
         aug_factor=args.aug_factor,
         seed=args.seed,
     )
-    mesh = mesh_lib.make_mesh(data=args.dp if args.dp > 0 else 0)
-    log(f"  mesh: {dict(mesh.shape)} over {mesh.devices.size} device(s)")
+    if jax.process_count() > 1:
+        # Multi-host dp training: one GLOBAL mesh over every process's
+        # devices.  Every process loads the same training TSV and walks the
+        # identical seeded epoch order, so each global batch is reproduced
+        # on every host and _on_mesh feeds each process's devices their
+        # shard rows; XLA inserts the cross-host gradient all-reduce.
+        # (Recipe + trajectory-parity test: docs/training.md,
+        # tests/test_dist_train.py.)
+        mesh = mesh_lib.make_mesh(jax.devices())
+        log(f"  multi-host mesh: {dict(mesh.shape)} over "
+            f"{jax.process_count()} process(es)")
+    else:
+        mesh = mesh_lib.make_mesh(data=args.dp if args.dp > 0 else 0)
+        log(f"  mesh: {dict(mesh.shape)} over {mesh.devices.size} device(s)")
     trainer = Trainer(cfg, mesh)
     best, best_variables = train_loop(
         trainer, signals, labels,
@@ -391,8 +452,9 @@ def train_from_args(args) -> None:
         test_fraction=cfg.test_fraction, aug_factor=cfg.aug_factor,
         seed=cfg.seed, checkpoint_dir=args.checkpoint_dir, resume=args.resume,
     )
-    save_model(
-        args.out, network, best_variables,
-        metadata={"best_val": best, "epochs": cfg.epochs},
-    )
-    log(f"  saved model to {args.out} (best val acc {best['accuracy']:.3f})")
+    if jax.process_index() == 0:  # replicated state; one writer
+        save_model(
+            args.out, network, best_variables,
+            metadata={"best_val": best, "epochs": cfg.epochs},
+        )
+        log(f"  saved model to {args.out} (best val acc {best['accuracy']:.3f})")
