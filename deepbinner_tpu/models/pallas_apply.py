@@ -60,14 +60,21 @@ def _pool3_same(x: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def _mega_kernel(*refs, config: NetworkConfig, tile_n: int, mxu_dtype):
-    """The whole conv trunk (stem2 → head_conv → GAP) on ONE VMEM tile.
+def _mega_kernel(*refs, config: NetworkConfig, tile_n: int, mxu_dtype,
+                 segment: str = "all"):
+    """The conv trunk (or a segment of it) on ONE VMEM tile.
 
-    Ref order: x (tile_n, L/1, stem_features), then (w, scale, bias) per
-    unit in :func:`_mega_unit_scopes` order, then the (tile_n,
-    head_features) output.  Every activation between stem2 and the GAP
-    lives its whole life in VMEM — zero inter-layer HBM traffic (round-2
-    VERDICT item 2: "consider chaining units so activations stay in VMEM").
+    Ref order: x, then (w, scale, bias) per unit in
+    :func:`_mega_unit_scopes(config, segment)` order, then the output.
+    Every activation inside the segment lives its whole life in VMEM —
+    zero inter-layer HBM traffic (round-2 VERDICT item 2).
+
+    Segments (round-4 tile sweep — the VMEM row budget is set by the
+    LONGEST layer in the kernel, so splitting lets the short deep layers
+    run at a much larger batch tile than L=1024 stem2 allows):
+      - "all":   stem2 → head_conv → GAP (the round-3 megakernel);
+      - "early": stem2 + blocks (ends at the last block pool);
+      - "late":  inception stack → head_conv → GAP.
     """
     from deepbinner_tpu.ops.conv_pallas import _conv_tile
 
@@ -94,36 +101,101 @@ def _mega_kernel(*refs, config: NetworkConfig, tile_n: int, mxu_dtype):
 
     x = x_ref[:]
     index = 0
-    x = unit(x, index, pool=True)           # stem2
-    index += 1
-    for _feats in config.block_features:
-        x = unit(x, index)
-        x = unit(x, index + 1, pool=True)
-        index += 2
-    for i, _feats in enumerate(config.inception_features):
-        b1 = unit(x, index, pool=True)
-        b3 = unit(x, index + 1, pool=True)
-        bd = unit(x, index + 2, dilation=2 ** (i + 1), pool=True)
-        bp = unit(pool3_same(x), index + 3, pool=True)
-        index += 4
-        x = jnp.concatenate([b1, b3, bd, bp], axis=-1)
-    x = unit(x, index)                      # head_conv
-    out_ref[:] = jnp.mean(x, axis=1)        # global average pool
+    if segment in ("all", "early"):
+        x = unit(x, index, pool=True)           # stem2
+        index += 1
+        for _feats in config.block_features:
+            x = unit(x, index)
+            x = unit(x, index + 1, pool=True)
+            index += 2
+    if segment in ("all", "late"):
+        for i, _feats in enumerate(config.inception_features):
+            b1 = unit(x, index, pool=True)
+            b3 = unit(x, index + 1, pool=True)
+            bd = unit(x, index + 2, dilation=2 ** (i + 1), pool=True)
+            bp = unit(pool3_same(x), index + 3, pool=True)
+            index += 4
+            x = jnp.concatenate([b1, b3, bd, bp], axis=-1)
+        x = unit(x, index)                      # head_conv
+        out_ref[:] = jnp.mean(x, axis=1)        # global average pool
+    else:
+        out_ref[:] = x
 
 
-def _mega_unit_scopes(config: NetworkConfig):
+def _mega_unit_scopes(config: NetworkConfig, segment: str = "all"):
     """Unit scopes in megakernel execution order (stem1 excluded — it runs
     in XLA: its C_in=1 'matmul' is MXU-useless and lane-pads 128×)."""
-    scopes = [("stem2", 1)]
-    for i in range(len(config.block_features)):
-        scopes += [(f"block{i}_conv1", 1), (f"block{i}_conv2", 1)]
-    for i in range(len(config.inception_features)):
-        scope = f"inception{i}"
-        scopes += [(f"{scope}/branch1x1", 1), (f"{scope}/branch3", 1),
-                   (f"{scope}/branch_dilated", 2 ** (i + 1)),
-                   (f"{scope}/branch_pool", 1)]
-    scopes.append(("head_conv", 1))
+    scopes = []
+    if segment in ("all", "early"):
+        scopes.append(("stem2", 1))
+        for i in range(len(config.block_features)):
+            scopes += [(f"block{i}_conv1", 1), (f"block{i}_conv2", 1)]
+    if segment in ("all", "late"):
+        for i in range(len(config.inception_features)):
+            scope = f"inception{i}"
+            scopes += [(f"{scope}/branch1x1", 1), (f"{scope}/branch3", 1),
+                       (f"{scope}/branch_dilated", 2 ** (i + 1)),
+                       (f"{scope}/branch_pool", 1)]
+        scopes.append(("head_conv", 1))
     return scopes
+
+
+def _run_segment(config, params, stats, x, segment: str, tile_n: int,
+                 interpret, mxu_dtype):
+    """One pallas_call covering a trunk segment; x: (N, L, C) f32."""
+    n, length, c_in0 = x.shape
+    tile_n = min(tile_n, max(n, 1))
+
+    weight_args = []
+    in_specs = [pl.BlockSpec((tile_n, length, c_in0), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    for scope, _dilation in _mega_unit_scopes(config, segment):
+        kernel, scale, bias = _unit_weights(params, stats, scope)
+        taps, c_in, c_out = kernel.shape
+        weight_args += [
+            kernel.astype(jnp.float32),
+            scale.reshape(1, c_out).astype(jnp.float32),
+            bias.reshape(1, c_out).astype(jnp.float32),
+        ]
+        in_specs += [
+            pl.BlockSpec((taps, c_in, c_out), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_out), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_out), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+
+    n_pad = -(-n // tile_n) * tile_n
+    if n_pad != n:
+        x = jnp.pad(x, ((0, n_pad - n), (0, 0), (0, 0)))
+
+    if segment == "early":
+        # Ends after the last block pool: L halves once per pool.
+        pools = 1 + len(config.block_features)
+        out_len = length // (2 ** pools)
+        c_out = (config.block_features[-1] if config.block_features
+                 else config.stem_features)
+        out_spec = pl.BlockSpec((tile_n, out_len, c_out),
+                                lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((n_pad, out_len, c_out), jnp.float32)
+    else:  # "all" / "late" end at the GAP
+        feats = config.head_features
+        out_spec = pl.BlockSpec((tile_n, feats), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((n_pad, feats), jnp.float32)
+
+    kernel_fn = functools.partial(_mega_kernel, config=config, tile_n=tile_n,
+                                  mxu_dtype=mxu_dtype, segment=segment)
+    return pl.pallas_call(
+        kernel_fn,
+        grid=(n_pad // tile_n,),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(x, *weight_args)[:n]
 
 
 def apply_inference_pallas_fused(
@@ -150,46 +222,46 @@ def apply_inference_pallas_fused(
         x = x[:, :, None]
 
     x = _unit(params, stats, "stem1", x, interpret=interpret)  # XLA fallback
-    n, length, c_stem = x.shape
-    tile_n = min(tile_n, max(n, 1))
+    pooled = _run_segment(config, params, stats, x, "all", tile_n,
+                          interpret, mxu_dtype)
+    dense = params["classifier"]
+    logits = pooled @ dense["kernel"] + dense["bias"]
+    return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
-    weight_args = []
-    in_specs = [pl.BlockSpec((tile_n, length, c_stem), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM)]
-    for scope, _dilation in _mega_unit_scopes(config):
-        kernel, scale, bias = _unit_weights(params, stats, scope)
-        taps, c_in, c_out = kernel.shape
-        weight_args += [
-            kernel.astype(jnp.float32),
-            scale.reshape(1, c_out).astype(jnp.float32),
-            bias.reshape(1, c_out).astype(jnp.float32),
-        ]
-        in_specs += [
-            pl.BlockSpec((taps, c_in, c_out), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c_out), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c_out), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ]
 
-    n_pad = -(-n // tile_n) * tile_n
-    if n_pad != n:
-        x = jnp.pad(x, ((0, n_pad - n), (0, 0), (0, 0)))
-    feats = config.head_features
+def apply_inference_pallas_split(
+    config: NetworkConfig,
+    variables: dict,
+    windows: jnp.ndarray,
+    tile_early: int = 4,
+    tile_late: int = 32,
+    interpret=None,
+    mxu_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Two-kernel trunk: {stem2+blocks} then {inceptions+head+GAP}.
 
-    kernel_fn = functools.partial(_mega_kernel, config=config, tile_n=tile_n,
-                                  mxu_dtype=mxu_dtype)
-    pooled = pl.pallas_call(
-        kernel_fn,
-        grid=(n_pad // tile_n,),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((tile_n, feats), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_pad, feats), jnp.float32),
-        interpret=interpret,
-    )(x, *weight_args)[:n]
+    The single megakernel's batch tile is capped by its LONGEST layer
+    (L=1024 stem2 ⇒ tile_n·L ≤ VMEM rows ⇒ tile 8), which starves the MXU
+    at the deep layers (L=32 ⇒ 256-row matmuls).  Splitting lets each
+    stage pick its own tile: the early stage stays small, the late stage
+    (L ≤ 128) runs 4-8× larger matmul tiles.  One extra HBM round-trip of
+    the (N, L/8, C_block) activation is the price — the smallest
+    inter-layer tensor in the trunk.  Measured A/B: scripts/pallas_sweep.py
+    → BENCH_PALLAS_r04.jsonl.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    x = windows.astype(jnp.float32)
+    if x.ndim == 2:
+        x = x[:, :, None]
 
+    x = _unit(params, stats, "stem1", x, interpret=interpret)  # XLA fallback
+    x = _run_segment(config, params, stats, x, "early", tile_early,
+                     interpret, mxu_dtype)
+    pooled = _run_segment(config, params, stats, x, "late", tile_late,
+                          interpret, mxu_dtype)
     dense = params["classifier"]
     logits = pooled @ dense["kernel"] + dense["bias"]
     return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)

@@ -121,6 +121,7 @@ def fused_conv1d_bn_relu(
     tile_n: int = 16,
     interpret: Optional[bool] = None,
     mxu_dtype=jnp.float32,
+    max_rows: int = 4096,
 ) -> jnp.ndarray:
     """SAME-padded 1D conv fused with a channel affine (+ReLU, +maxpool2).
 
@@ -155,9 +156,11 @@ def fused_conv1d_bn_relu(
 
     # Adaptive tile: keep the accumulator (tile_n·L rows × ≥128 lanes) and the
     # in/out blocks inside scoped VMEM (~16 MB, double-buffered by Mosaic).
-    # tile_n·L ≤ 4096 keeps x + halo copy + acc + out ≤ ~8 MB at c ≤ 128
-    # (measured: 8192 rows OOMs scoped VMEM at L=512 C_out=64 by 2.8 MB).
-    tile_n = min(tile_n, max(4096 // max(length, 1), 1))
+    # tile_n·L ≤ max_rows (default 4096) keeps x + halo copy + acc + out
+    # ≤ ~8 MB at c ≤ 128 (measured: 8192 rows OOMs scoped VMEM at L=512
+    # C_out=64 by 2.8 MB); `max_rows` is exposed for the tile sweep
+    # (scripts/pallas_sweep.py), which probes the ceiling per geometry.
+    tile_n = min(tile_n, max(max_rows // max(length, 1), 1))
     tile_n = min(tile_n, max(n, 1))
     n_pad = -(-n // tile_n) * tile_n
     x_arg = x.astype(jnp.float32)

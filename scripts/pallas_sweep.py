@@ -1,0 +1,233 @@
+#!/usr/bin/env python
+"""Pallas conv-trunk tile/geometry sweep on the real chip → BENCH_PALLAS_r04.
+
+Round-3 VERDICT item 2: the megakernel concession (0.448× XLA compute-only)
+was honest but unexhausted — no tile sweep, fixed tile_n=8, single-kernel
+trunk whose batch tile is capped by its longest layer.  This harness
+measures, same-process, same-chip:
+
+1. per-layer-geometry fused kernels across tile_n (the per-geometry
+   ceiling vs the XLA conv emitter, with MFU);
+2. the whole-trunk megakernel across tile_n;
+3. the round-4 TWO-STAGE split trunk ({stem2+blocks} / {inceptions+head})
+   across (tile_early, tile_late) — the deep layers run 4-16× larger
+   matmul tiles than the megakernel allows;
+4. e2e argmax parity for every candidate vs the flax/XLA path.
+
+Emits one JSON line per measurement (tee to BENCH_PALLAS_r04.jsonl).
+Run with the chip idle; compute-only timings (device-resident input).
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/deepbinner_tpu_jax_cache")
+
+
+def emit(**payload):
+    print(json.dumps(payload), flush=True)
+
+
+def time_fn(fn, *args, reps=10):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.monotonic()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.monotonic() - t0) / reps
+
+
+def trunk_flops_per_window(cfg) -> int:
+    """MXU FLOPs of the conv trunk + head for ONE input window."""
+    total = 0
+    length = cfg.input_length
+    total += 2 * length * 3 * 1 * cfg.stem_features            # stem1
+    total += 2 * length * 3 * cfg.stem_features * cfg.stem_features
+    length //= 2
+    c_in = cfg.stem_features
+    for feats in cfg.block_features:
+        total += 2 * length * 3 * c_in * feats
+        total += 2 * length * 3 * feats * feats
+        length //= 2
+        c_in = feats
+    for feats in cfg.inception_features:
+        quarter = feats // 4
+        b3 = feats - 3 * quarter
+        total += 2 * length * 1 * c_in * quarter       # 1x1
+        total += 2 * length * 3 * c_in * b3            # k3
+        total += 2 * length * 3 * c_in * quarter       # dilated
+        total += 2 * length * 1 * c_in * quarter       # pool→1x1
+        length //= 2
+        c_in = feats
+    total += 2 * length * 3 * c_in * cfg.head_features  # head_conv
+    total += 2 * cfg.head_features * 13
+    return total
+
+
+# v5e: 1 MXU core ≈ 197 TFLOP/s bf16, ~98 TFLOP/s f32 (half rate).
+V5E_F32_FLOPS = 98e12
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--windows", type=int, default=5632,
+                        help="batch of CNN input windows (512 reads' worth)")
+    parser.add_argument("--reps", type=int, default=10)
+    parser.add_argument("--skip-unit-sweep", action="store_true")
+    args = parser.parse_args()
+
+    global jax
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import bench
+    from deepbinner_tpu.models.pallas_apply import (
+        apply_inference_pallas,
+        apply_inference_pallas_fused,
+        apply_inference_pallas_split,
+    )
+    from deepbinner_tpu.ops.conv_pallas import (
+        conv1d_bn_relu_reference,
+        fused_conv1d_bn_relu,
+    )
+
+    model, variables, net_cfg = bench.load_flagship()
+    n = args.windows
+    rng = np.random.default_rng(0)
+    x_host = rng.normal(0.0, 1.0, (n, net_cfg.input_length, 1)).astype(np.float32)
+    x = jax.device_put(jnp.asarray(x_host))
+    jax.block_until_ready(x)
+    variables = jax.device_put(variables)
+    flops = trunk_flops_per_window(net_cfg) * n
+    emit(kind="setup", windows=n, device=str(jax.devices()[0]),
+         trunk_gflops_per_batch=round(flops / 1e9, 2))
+
+    failures = 0
+
+    # ---- e2e trunk paths -------------------------------------------------
+    def xla_apply(v, xx):
+        return jax.nn.softmax(model.apply(v, xx, train=False), axis=-1)
+
+    paths = {"xla": jax.jit(xla_apply)}
+    paths["pallas_unit"] = jax.jit(
+        functools.partial(apply_inference_pallas, net_cfg, interpret=False))
+    for tile in (8, 16):
+        paths[f"pallas_fused_t{tile}"] = jax.jit(functools.partial(
+            apply_inference_pallas_fused, net_cfg, tile_n=tile,
+            interpret=False))
+    for te, tl in ((4, 32), (8, 32), (4, 64), (8, 64), (4, 128)):
+        paths[f"pallas_split_e{te}_l{tl}"] = jax.jit(functools.partial(
+            apply_inference_pallas_split, net_cfg, tile_early=te,
+            tile_late=tl, interpret=False))
+
+    ref_probs = None
+    results = {}
+    for name, fn in paths.items():
+        try:
+            call = (lambda f: (lambda: f(variables, x)))(fn)
+            ms = time_fn(lambda: call(), reps=args.reps) * 1e3
+            probs = np.asarray(call())
+            if ref_probs is None:
+                ref_probs = probs
+                calls_equal = True
+                max_diff = 0.0
+            else:
+                calls_equal = bool(
+                    (probs.argmax(-1) == ref_probs.argmax(-1)).all())
+                max_diff = float(np.abs(probs - ref_probs).max())
+                if not calls_equal:
+                    failures += 1
+            mfu = flops / (ms / 1e3) / V5E_F32_FLOPS
+            results[name] = ms
+            emit(kind="trunk", path=name, ms_per_batch=round(ms, 2),
+                 windows_per_s=round(n / (ms / 1e3), 0),
+                 mfu_f32=round(mfu, 4), calls_equal=calls_equal,
+                 max_abs_prob_diff=max_diff)
+        except Exception as error:  # noqa: BLE001 — OOM candidates expected
+            emit(kind="trunk", path=name, error=repr(error)[:200])
+
+    best_pallas = min((v for k, v in results.items() if k != "xla"),
+                      default=None)
+    if best_pallas is not None and "xla" in results:
+        best_name = min((k for k in results if k != "xla"),
+                        key=lambda k: results[k])
+        emit(kind="verdict",
+             xla_ms=round(results["xla"], 2),
+             best_pallas_path=best_name,
+             best_pallas_ms=round(best_pallas, 2),
+             pallas_fused_compute_speedup=round(
+                 results["xla"] / best_pallas, 3),
+             failures=failures)
+
+    # ---- per-layer geometry tile sweep ----------------------------------
+    if args.skip_unit_sweep:
+        return 0 if failures == 0 else 1
+    geometries = []
+    length = net_cfg.input_length
+    c_in = net_cfg.stem_features
+    geometries.append(("stem2", length, c_in, c_in, 3, 1, True))
+    length //= 2
+    for i, feats in enumerate(net_cfg.block_features):
+        geometries.append((f"block{i}_c1", length, c_in, feats, 3, 1, False))
+        geometries.append((f"block{i}_c2", length, feats, feats, 3, 1, True))
+        length //= 2
+        c_in = feats
+    for i, feats in enumerate(net_cfg.inception_features):
+        geometries.append((f"inc{i}_b3", length, c_in,
+                           feats - 3 * (feats // 4), 3, 1, True))
+        geometries.append((f"inc{i}_b1", length, c_in, feats // 4, 1, 1, True))
+        length //= 2
+        c_in = feats
+    geometries.append(("head", length, c_in, net_cfg.head_features, 3, 1, False))
+
+    for name, L, ci, co, taps, dil, pool in geometries:
+        k = jnp.asarray(rng.normal(0, 0.1, (taps, ci, co)).astype(np.float32))
+        s = jnp.ones((co,), jnp.float32)
+        b = jnp.zeros((co,), jnp.float32)
+        xin = jax.device_put(jnp.asarray(
+            rng.normal(0, 1, (n, L, ci)).astype(np.float32)))
+        jax.block_until_ready(xin)
+        layer_flops = 2 * n * L * taps * ci * co
+        ref_fn = jax.jit(functools.partial(
+            conv1d_bn_relu_reference, dilation=dil, relu=True, pool=pool))
+        ms_ref = time_fn(lambda: ref_fn(xin, k, s, b), reps=args.reps) * 1e3
+        emit(kind="unit", geom=name, L=L, cin=ci, cout=co, path="xla",
+             ms=round(ms_ref, 3),
+             mfu_f32=round(layer_flops / (ms_ref / 1e3) / V5E_F32_FLOPS, 4))
+        for tile in (8, 16, 32, 64):
+            rows = tile * L
+            if rows > 8192:
+                continue
+            max_rows = 4096 if rows <= 4096 else 8192
+            if True:
+                try:
+                    fn = jax.jit(functools.partial(
+                        fused_conv1d_bn_relu, dilation=dil, relu=True,
+                        pool=pool, tile_n=tile, interpret=False,
+                        max_rows=max_rows))
+                    ms = time_fn(lambda: fn(xin, k, s, b),
+                                 reps=args.reps) * 1e3
+                    emit(kind="unit", geom=name, L=L, cin=ci, cout=co,
+                         path=f"pallas_t{tile}", max_rows=max_rows,
+                         ms=round(ms, 3),
+                         vs_xla=round(ms_ref / ms, 3),
+                         mfu_f32=round(
+                             layer_flops / (ms / 1e3) / V5E_F32_FLOPS, 4))
+                except Exception as error:  # noqa: BLE001
+                    emit(kind="unit", geom=name, path=f"pallas_t{tile}",
+                         max_rows=max_rows, error=repr(error)[:160])
+    return 0 if failures == 0 else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

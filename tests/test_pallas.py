@@ -108,6 +108,29 @@ def test_full_network_megakernel_parity(rng):
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
 
 
+def test_full_network_split_trunk_parity(rng):
+    """Two-stage trunk ({stem2+blocks} / {inceptions+head+GAP}) == flax,
+    including a batch that tiles neither stage evenly (round-4 tile sweep:
+    the split lets deep layers run larger matmul tiles than the single
+    megakernel's longest-layer VMEM cap allows)."""
+    from deepbinner_tpu.models.pallas_apply import apply_inference_pallas_split
+
+    net = NetworkConfig(input_length=512, stem_features=16,
+                        block_features=(16, 32), inception_features=(32, 32),
+                        head_features=32)
+    model, variables = init_params(jax.random.PRNGKey(5), net)
+    x = jnp.asarray(rng.normal(size=(11, net.input_length)), jnp.float32)
+    want = np.asarray(
+        jax.nn.softmax(model.apply(variables, x[:, :, None], train=False), -1)
+    )
+    got = np.asarray(
+        apply_inference_pallas_split(net, variables, x, interpret=True,
+                                     tile_early=4, tile_late=8,
+                                     mxu_dtype=jnp.float32)
+    )
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
 def test_bf16_mxu_mode_calls_identical(rng):
     """Optional bf16-multiplicand mode (f32 accumulate): probabilities
     drift ≤4e-3 from the f32 flax oracle and argmax calls never move — the
