@@ -45,6 +45,79 @@ from deepbinner_tpu.runner.hostbatch import (
 # pass id so a pass abandoned mid-drain can't leak stale reads into the next.
 _CTL = "__deepbinner_ctl__"
 _STOP = (_CTL, "stop")
+# Batch-mode items shipped via shared memory carry this tag instead of the
+# inline arrays: (pass_id, _SHM, slot_index, ids).
+_SHM = "__deepbinner_shm__"
+
+
+class _ShmRing:
+    """Fixed slots of shared memory for batch buffers + a free-slot queue.
+
+    The multiprocessing queue then carries only (slot index, read ids):
+    workers write the built arrays straight into the slot (no pickle of
+    multi-MB payloads, no pipe streaming), the consumer copies them out and
+    recycles the slot immediately — bounded memory, trivially safe
+    lifetimes.  On the 2-vCPU bench host the pickle+pipe round trip of a
+    6.3 MB batch is pure CPU the decode workers and dispatch threads fight
+    over; this removes both sides of it.
+    """
+
+    def __init__(self, ctx, spec: "BatchSpec", slots: int) -> None:
+        from multiprocessing import shared_memory
+
+        self.spec = spec
+        b, buf = spec.batch_size, spec.buffer_size
+        self.sig_bytes = b * buf * 2      # int16
+        self.len_bytes = b * 4            # int32
+        per_end = self.sig_bytes + self.len_bytes
+        self.slot_bytes = per_end * (2 if spec.dual else 1)
+        self.slots = [
+            shared_memory.SharedMemory(create=True, size=self.slot_bytes)
+            for _ in range(slots)
+        ]
+        self.names = [s.name for s in self.slots]
+        self.free: "mp.Queue" = ctx.Queue()
+        for index in range(slots):
+            self.free.put(index)
+
+    def views(self, memory) -> tuple:
+        """(start, start_len, end, end_len) numpy views over one slot."""
+        b, buf = self.spec.batch_size, self.spec.buffer_size
+        o = 0
+        start = np.ndarray((b, buf), np.int16, buffer=memory.buf, offset=o)
+        o += self.sig_bytes
+        start_len = np.ndarray((b,), np.int32, buffer=memory.buf, offset=o)
+        o += self.len_bytes
+        if not self.spec.dual:
+            return start, start_len, None, None
+        end = np.ndarray((b, buf), np.int16, buffer=memory.buf, offset=o)
+        o += self.sig_bytes
+        end_len = np.ndarray((b,), np.int32, buffer=memory.buf, offset=o)
+        return start, start_len, end, end_len
+
+    def close(self) -> None:
+        for memory in self.slots:
+            try:
+                memory.close()
+                memory.unlink()
+            except (FileNotFoundError, OSError):
+                pass
+
+
+def _attach_slots(names):
+    """Child-side attach; unregister from the resource tracker (3.12's
+    tracker would otherwise unlink parent-owned segments at child exit)."""
+    from multiprocessing import resource_tracker, shared_memory
+
+    slots = []
+    for name in names:
+        memory = shared_memory.SharedMemory(name=name)
+        try:
+            resource_tracker.unregister(memory._name, "shared_memory")  # noqa: SLF001
+        except Exception:  # noqa: BLE001 — tracker API is version-dependent
+            pass
+        slots.append(memory)
+    return slots
 
 
 def _trim_signal(signal: np.ndarray, head: int, tail: int) -> np.ndarray:
@@ -73,9 +146,13 @@ def _pool_worker(
     trim_head: int,
     trim_tail: int,
     batch_spec: Optional[BatchSpec],
+    shm_names: Optional[List[str]] = None,
+    shm_free: Optional["mp.Queue"] = None,
 ) -> None:
     # Import inside the child: no JAX, just file decode.
     from deepbinner_tpu.utils.fast5 import read_signal_file
+
+    shm_slots = _attach_slots(shm_names) if shm_names else None
 
     fast5_fn = None
     if use_native:
@@ -106,8 +183,29 @@ def _pool_worker(
     pending: List[Tuple[str, np.ndarray]] = []
 
     def emit_batch(pass_id: int) -> None:
-        out_queue.put((pass_id,) + build_batch_arrays(pending, batch_spec))
+        batch = build_batch_arrays(pending, batch_spec)
         pending.clear()
+        if shm_slots is None:
+            out_queue.put((pass_id,) + batch)
+            return
+        # Shared-memory transport: write the arrays into a free slot; the
+        # queue carries only (slot, ids).  Blocks when all slots are in
+        # flight — the same backpressure the bounded queue provides.
+        ids, start, start_len, end, end_len = batch
+        slot = shm_free.get()
+        b, buf = batch_spec.batch_size, batch_spec.buffer_size
+        memory = shm_slots[slot]
+        sig_bytes, len_bytes = b * buf * 2, b * 4
+        o = 0
+        np.ndarray((b, buf), np.int16, buffer=memory.buf, offset=o)[:] = start
+        o += sig_bytes
+        np.ndarray((b,), np.int32, buffer=memory.buf, offset=o)[:] = start_len
+        o += len_bytes
+        if batch_spec.dual:
+            np.ndarray((b, buf), np.int16, buffer=memory.buf, offset=o)[:] = end
+            o += sig_bytes
+            np.ndarray((b,), np.int32, buffer=memory.buf, offset=o)[:] = end_len
+        out_queue.put((pass_id, _SHM, slot, ids))
 
     while True:
         task = task_queue.get()
@@ -167,6 +265,7 @@ class ReaderPool:
         trim_tail: int = 0,
         batch_spec: Optional[BatchSpec] = None,
         stall_timeout: float = 300.0,
+        shm_slots: int = 0,
     ) -> None:
         self.num_workers = max(1, int(num_workers))
         self.stall_timeout = stall_timeout
@@ -176,13 +275,20 @@ class ReaderPool:
         # dataset in pickled form. 4 in-flight batches per worker is plenty.
         if batch_spec is not None:
             queue_depth = min(queue_depth, 4 * self.num_workers)
+        # Optional shared-memory batch transport (batch mode only): slots
+        # replace the pickled multi-MB queue items (see _ShmRing).
+        self._ring: Optional[_ShmRing] = None
+        if shm_slots > 0 and batch_spec is not None:
+            self._ring = _ShmRing(ctx, batch_spec, shm_slots)
         self._tasks: List["mp.Queue"] = [ctx.Queue() for _ in range(self.num_workers)]
         self._out: "mp.Queue" = ctx.Queue(maxsize=queue_depth)
         self._workers = [
             ctx.Process(
                 target=_pool_worker,
                 args=(self._tasks[i], self._out, use_native, trim_head,
-                      trim_tail, batch_spec),
+                      trim_tail, batch_spec,
+                      self._ring.names if self._ring else None,
+                      self._ring.free if self._ring else None),
                 daemon=True,
             )
             for i in range(self.num_workers)
@@ -226,6 +332,8 @@ class ReaderPool:
                     )
                 continue
             if item[0] != pass_id:  # stale data from an abandoned pass
+                if self._ring is not None and len(item) > 1 and item[1] == _SHM:
+                    self._ring.free.put(item[2])  # recycle the orphaned slot
                 continue
             yield item[1:]
 
@@ -269,7 +377,17 @@ class ReaderPool:
         """
         if self.batch_spec is None:
             raise RuntimeError("pool was not built with a batch_spec")
-        yield from self._drain_pass(fast5_paths, stats or ExecutorStats())
+        for payload in self._drain_pass(fast5_paths, stats or ExecutorStats()):
+            if self._ring is not None and payload and payload[0] == _SHM:
+                _tag, slot, ids = payload
+                views = self._ring.views(self._ring.slots[slot])
+                batch = (ids, views[0].copy(), views[1].copy(),
+                         views[2].copy() if views[2] is not None else None,
+                         views[3].copy() if views[3] is not None else None)
+                self._ring.free.put(slot)  # recycle immediately (copied out)
+                yield batch
+            else:
+                yield payload
 
     def close(self) -> None:
         if self._closed:
@@ -281,6 +399,8 @@ class ReaderPool:
             worker.join(timeout=5)
             if worker.is_alive():
                 worker.terminate()
+        if self._ring is not None:
+            self._ring.close()
 
     def __enter__(self) -> "ReaderPool":
         return self

@@ -95,6 +95,40 @@ def test_reader_pool_worker_built_batches(tmp_path):
         np.testing.assert_array_equal(erow[:n], signal[-n:][::-1])
 
 
+def test_reader_pool_shm_transport_bit_identical(tmp_path):
+    """Shared-memory batch transport == pickled-queue transport, bit for bit,
+    across two passes (slot recycling), dual-end buffers included."""
+    from deepbinner_tpu.runner.hostbatch import BatchSpec
+    from deepbinner_tpu.runner.mp_reader import ReaderPool
+
+    simulate.make_dataset(tmp_path, reads_per_barcode=1, none_reads=3,
+                          genome_length=300, seed=16, write_fastq=False)
+    files = fast5_io.find_all_fast5s(tmp_path)
+    spec = BatchSpec(batch_size=4, buffer_size=256, dual=True)
+
+    def collect(pool):
+        out = {}
+        for ids, start, start_len, end, end_len in pool.iter_batches(files):
+            for i, read_id in enumerate(ids):
+                out[read_id] = (start[i].copy(), int(start_len[i]),
+                                end[i].copy(), int(end_len[i]))
+        return out
+
+    with ReaderPool(num_workers=2, batch_spec=spec) as pool:
+        want = collect(pool)
+    # 3 slots < number of batches in flight → slots really recycle.
+    with ReaderPool(num_workers=2, batch_spec=spec, shm_slots=3) as pool:
+        got = collect(pool)
+        got2 = collect(pool)  # second pass reuses the ring
+    assert set(got) == set(want) and set(got2) == set(want)
+    for read_id, (row, n, erow, en) in want.items():
+        for result in (got, got2):
+            grow, gn, gerow, gen = result[read_id]
+            assert gn == n and gen == en
+            np.testing.assert_array_equal(grow, row)
+            np.testing.assert_array_equal(gerow, erow)
+
+
 def test_mp_reader_decodes_pod5(tmp_path):
     """Worker processes route .pod5 through the pure-Python parser even when
     the native (libhdf5-only) reader is enabled."""
