@@ -91,18 +91,23 @@ def main() -> None:
                  args.device_step_batches * batch_bytes / elapsed / 1e6 / cap, 3
              ) if cap else None)
 
-    # Streaming configs: (workers, in_flight, prefetch, dispatch_threads)
+    # Streaming configs: (workers, in_flight, prefetch, dispatch_threads,
+    # shm_slots) — shm_slots > 0 swaps the pickled queue for the
+    # shared-memory ring (mp_reader._ShmRing).
     candidates = [
-        (2, 6, 3, 3),   # current default
-        (2, 8, 4, 3),
-        (2, 10, 6, 3),
-        (2, 8, 4, 4),
-        (3, 8, 4, 3),
-        (2, 6, 3, 2),
+        (2, 6, 3, 3, 0),   # current default
+        (2, 8, 4, 3, 0),
+        (2, 10, 6, 3, 0),
+        (2, 8, 4, 4, 0),
+        (3, 8, 4, 3, 0),
+        (2, 6, 3, 2, 0),
+        (2, 6, 3, 3, 8),   # shm transport A/Bs of the best shapes
+        (2, 8, 4, 3, 8),
+        (3, 8, 4, 3, 8),
     ]
-    for workers, in_flight, prefetch, threads in candidates:
+    for workers, in_flight, prefetch, threads, shm_slots in candidates:
         with ReaderPool(num_workers=workers, use_native=True,
-                        batch_spec=spec) as pool:
+                        batch_spec=spec, shm_slots=shm_slots) as pool:
             # one untimed settle pass per pool (page cache is already warm
             # after the first; keeps comparisons honest)
             warm_stats = ExecutorStats()
@@ -129,6 +134,7 @@ def main() -> None:
                 mbps.append(round(stats.batches * batch_bytes / elapsed / 1e6, 1))
         emit("streaming", workers=workers, in_flight=in_flight,
              prefetch=prefetch, dispatch_threads=threads,
+             shm_slots=shm_slots,
              per_pass_reads_per_s=per_pass, per_pass_h2d_mbps=mbps,
              link_utilization=round(max(mbps) / cap, 3) if cap else None)
 
