@@ -185,6 +185,11 @@ class StreamRunner:
             self.pool = ReaderPool(
                 num_workers=reader_processes, batch_spec=spec,
                 use_native=not getattr(args, "no_native_reader", False),
+                # Shared-memory batch transport: measured ~2x streaming
+                # throughput vs pickle+pipe on the bench host (r4
+                # stream_tuning A/B — the pickle memcpy fights the decode
+                # workers and dispatch threads for the same cores).
+                shm_slots=int(getattr(args, "shm_slots", 8)),
             )
         else:
             self.read_fn = _select_read_fn(args)
