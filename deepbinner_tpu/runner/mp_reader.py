@@ -105,18 +105,20 @@ class _ShmRing:
 
 
 def _attach_slots(names):
-    """Child-side attach; unregister from the resource tracker (3.12's
-    tracker would otherwise unlink parent-owned segments at child exit)."""
-    from multiprocessing import resource_tracker, shared_memory
+    """Child-side attach via raw mmap of the POSIX shm files.
+
+    Children must NOT construct `SharedMemory(name=...)`: each attach
+    registers the name with the (shared) resource tracker whose cache is a
+    set, so parent + N children produce one register entry but N+1
+    unregisters — a KeyError traceback in the tracker at exit.  Plain
+    mmap of /dev/shm/<name> sidesteps the tracker entirely; the parent
+    alone owns create/unlink."""
+    import mmap
 
     slots = []
     for name in names:
-        memory = shared_memory.SharedMemory(name=name)
-        try:
-            resource_tracker.unregister(memory._name, "shared_memory")  # noqa: SLF001
-        except Exception:  # noqa: BLE001 — tracker API is version-dependent
-            pass
-        slots.append(memory)
+        with open(f"/dev/shm/{name.lstrip('/')}", "r+b") as handle:
+            slots.append(mmap.mmap(handle.fileno(), 0))
     return slots
 
 
@@ -194,17 +196,17 @@ def _pool_worker(
         ids, start, start_len, end, end_len = batch
         slot = shm_free.get()
         b, buf = batch_spec.batch_size, batch_spec.buffer_size
-        memory = shm_slots[slot]
+        memory = shm_slots[slot]  # mmap: usable directly as an ndarray buffer
         sig_bytes, len_bytes = b * buf * 2, b * 4
         o = 0
-        np.ndarray((b, buf), np.int16, buffer=memory.buf, offset=o)[:] = start
+        np.ndarray((b, buf), np.int16, buffer=memory, offset=o)[:] = start
         o += sig_bytes
-        np.ndarray((b,), np.int32, buffer=memory.buf, offset=o)[:] = start_len
+        np.ndarray((b,), np.int32, buffer=memory, offset=o)[:] = start_len
         o += len_bytes
         if batch_spec.dual:
-            np.ndarray((b, buf), np.int16, buffer=memory.buf, offset=o)[:] = end
+            np.ndarray((b, buf), np.int16, buffer=memory, offset=o)[:] = end
             o += sig_bytes
-            np.ndarray((b,), np.int32, buffer=memory.buf, offset=o)[:] = end_len
+            np.ndarray((b,), np.int32, buffer=memory, offset=o)[:] = end_len
         out_queue.put((pass_id, _SHM, slot, ids))
 
     while True:
