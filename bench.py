@@ -78,7 +78,8 @@ def load_flagship(path: str = MODEL_FILE):
     return model, variables, net_cfg
 
 
-def _build_program(use_pallas: bool, dual: bool, host_trim: bool = True):
+def _build_program(use_pallas: bool, dual: bool, host_trim: bool = True,
+                   wire: str = "int16"):
     from deepbinner_tpu.ops.calling import CallingConfig
     from deepbinner_tpu.ops.preprocess import PreprocessConfig
     from deepbinner_tpu.runner.pipeline import ClassifyConfig, ClassifyProgram
@@ -94,7 +95,7 @@ def _build_program(use_pallas: bool, dual: bool, host_trim: bool = True):
         # Flagship geometry 6144/1024/512; host_trim mirrors the classify
         # CLI default — workers trim open-pore signal so the device payload
         # is the scan region only (25% fewer tunnel bytes).
-        preprocess=PreprocessConfig(host_trim=host_trim),
+        preprocess=PreprocessConfig(host_trim=host_trim, wire=wire),
         calling=CallingConfig(),
         dual_model=dual,
         use_pallas=use_pallas,
@@ -106,7 +107,8 @@ def _build_program(use_pallas: bool, dual: bool, host_trim: bool = True):
 def measure_tpu(fast5_dir: str, batch_size: int, reader_workers: int,
                 use_pallas: bool = False, native_reader: bool = True,
                 passes: int = 2, dual: bool = False,
-                host_trim: bool = True, shm_slots: int = 8) -> dict:
+                host_trim: bool = True, shm_slots: int = 8,
+                wire: str = "int16") -> dict:
     """Steady-state end-to-end throughput: warm pass + `passes` timed passes.
 
     File decode runs in worker *processes* (runner.mp_reader.ReaderPool):
@@ -145,13 +147,14 @@ def measure_tpu(fast5_dir: str, batch_size: int, reader_workers: int,
                       f"workers will use h5py", file=sys.stderr)
 
     t0 = time.monotonic()
-    program, cfg = _build_program(use_pallas, dual, host_trim=host_trim)
+    program, cfg = _build_program(use_pallas, dual, host_trim=host_trim,
+                                  wire=wire)
     setup_s = time.monotonic() - t0
     spec = batch_spec_for(cfg.preprocess, batch_size, dual)
-    # H2D payload per batch (int16 signal + int32 lengths, ×2 when dual) —
-    # the denominator for achieved-MB/s so a slow pass is attributable to
-    # the tunnel vs the pipeline (round-3 VERDICT weak #4).
-    per_end = spec.batch_size * (spec.buffer_size * 2 + 4)
+    # H2D payload per batch (signal at the wire itemsize + int32 lengths,
+    # ×2 when dual) — the denominator for achieved-MB/s so a slow pass is
+    # attributable to the tunnel vs the pipeline (round-3 VERDICT weak #4).
+    per_end = spec.batch_size * (spec.buffer_size * spec.wire_itemsize + 4)
     batch_bytes = per_end * (2 if dual else 1)
 
     print(f"[bench] program built ({setup_s:.1f}s); compiling + first-D2H "
@@ -379,6 +382,9 @@ def main() -> None:
                         help="run the CNN through the fused Pallas kernels")
     parser.add_argument("--no-native-reader", action="store_true",
                         help="force h5py decode inside the reader workers")
+    parser.add_argument("--wire", default="int16", choices=["int16", "int8"],
+                        help="signal wire format (int8 = host z-score + "
+                             "sigma/16 quantisation, half the link bytes)")
     parser.add_argument("--no-shm", action="store_true",
                         help="use the pickled-queue batch transport instead "
                              "of the shared-memory ring (A/B the transport)")
@@ -418,7 +424,8 @@ def main() -> None:
                          native_reader=not args.no_native_reader,
                          passes=args.passes, dual=args.dual,
                          host_trim=not args.device_trim,
-                         shm_slots=0 if args.no_shm else 8)
+                         shm_slots=0 if args.no_shm else 8,
+                         wire=args.wire)
 
     value = result["reads_per_s"]
     vs = value / baseline["reads_per_s"] if baseline.get("reads_per_s") else None
@@ -433,6 +440,7 @@ def main() -> None:
         # 3 CPU passes) and the tunnel wall (achieved H2D vs a same-run
         # capacity probe) so a slow headline is attributable ex post.
         "baseline_spread": baseline.get("spread_reads_per_s"),
+        "wire": args.wire,
         "link_mbps": result.get("h2d_mbps"),
         "link_capacity_mbps": result.get("link_capacity_mbps"),
         "link_utilization": result.get("link_utilization"),
@@ -462,7 +470,8 @@ def main() -> None:
                            native_reader=not args.no_native_reader,
                            passes=1, dual=True,
                            host_trim=not args.device_trim,
-                           shm_slots=0 if args.no_shm else 8)
+                           shm_slots=0 if args.no_shm else 8,
+                           wire=args.wire)
         dvs = dual["reads_per_s"] / baseline["reads_per_s"]
         print(json.dumps({
             "metric": "classify_dual_reads_per_sec_per_chip",

@@ -76,7 +76,11 @@ def build_program(args) -> Tuple[object, object]:
         # throughput wall; docs/performance.md).  --device_trim restores
         # the fully in-graph path (same math, parity-tested).
         host_trim=not bool(getattr(args, "device_trim", False)),
+        wire=getattr(args, "wire", "int16"),
     )
+    if pre.wire == "int8" and not pre.host_trim:
+        quit_with_error("--wire int8 requires host-side trim "
+                        "(drop --device_trim)")
     calling = CallingConfig(
         min_score=args.min_score,
         score_diff=args.score_diff,

@@ -50,6 +50,17 @@ class PreprocessConfig:
     # math either way (parity-tested); classify/bench default to host trim,
     # --device_trim restores the in-graph path.
     host_trim: bool = False
+    # Wire format of the signal buffers crossing host→device.
+    #  'int16': raw DAC samples (lossless; the default).
+    #  'int8':  reader workers z-score each read end over its valid scan
+    #           region and quantise at 1/16 σ (runner.hostbatch), HALVING
+    #           link bytes.  Sound because the in-graph per-window z-score
+    #           (window_scan_region → normalise) is invariant to any
+    #           per-read affine transform, so the only divergence from the
+    #           int16 path is the ±1/32 σ rounding noise — below the 0.02 σ
+    #           Gaussian augmentation the stock models are trained under
+    #           (models/network.py noise_stddev).  Requires host_trim.
+    wire: str = "int16"
 
     @property
     def num_windows(self) -> int:

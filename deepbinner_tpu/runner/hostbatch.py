@@ -140,6 +140,43 @@ class BatchSpec:
     # scan region (buffer_size == scan_size); the device skips its in-graph
     # trim (PreprocessConfig.host_trim=True builds the matching program).
     trim: Optional[TrimSpec] = None
+    # Signal wire format: 'int16' raw DAC, or 'int8' host-side z-score +
+    # 1/16 σ quantisation (see ops.preprocess.PreprocessConfig.wire — the
+    # in-graph per-window z-score erases the affine scale, so only ±1/32 σ
+    # rounding noise crosses into the CNN).  int8 halves link bytes.
+    wire: str = "int16"
+
+    @property
+    def wire_np(self):
+        return np.int8 if self.wire == "int8" else np.int16
+
+    @property
+    def wire_itemsize(self) -> int:
+        return 1 if self.wire == "int8" else 2
+
+
+# int8 wire: quantisation step is 1/WIRE_SCALE of the read-end's std —
+# range ±127/16 ≈ ±7.9 σ, step noise std (1/16)/√12 ≈ 0.018 σ.
+WIRE_SCALE = 16.0
+
+
+def quantise_wire(signal: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Z-score each row over its valid samples and quantise to int8.
+
+    ``signal``: (n, T) int16, zero-padded past ``lengths``.  Padding stays
+    exactly 0 on the wire (device masks it anyway; keeps batches
+    bit-reproducible).  Pure numpy — runs in reader workers.
+    """
+    x = signal.astype(np.float32)
+    t = x.shape[1]
+    mask = np.arange(t)[None, :] < np.clip(lengths, 0, t)[:, None]
+    n = np.maximum(mask.sum(axis=1, keepdims=True).astype(np.float32), 1.0)
+    masked = x * mask
+    mean = masked.sum(axis=1, keepdims=True) / n
+    var = (masked * masked).sum(axis=1, keepdims=True) / n - mean * mean
+    std = np.sqrt(np.maximum(var, 0.0)) + 1e-8
+    q = np.rint((x - mean) / std * WIRE_SCALE)
+    return (np.clip(q, -127.0, 127.0) * mask).astype(np.int8)
 
 
 # A built batch: (read_ids, start, start_len, end, end_len).  Rows beyond
@@ -209,7 +246,7 @@ def build_batch_arrays(
         gather(raw, start[:n_reads], start_len)
         if spec.dual:
             gather(tails, end[:n_reads], end_len)
-        return ids, start, start_len, end, end_len
+        return _finish_wire(spec, ids, start, start_len, end, end_len)
 
     for i, (read_id, signal) in enumerate(reads):
         ids.append(read_id)
@@ -220,4 +257,14 @@ def build_batch_arrays(
             tail = signal[-n:] if signal.size else signal
             end[i, :n] = tail[::-1]
             end_len[i] = n
+    return _finish_wire(spec, ids, start, start_len, end, end_len)
+
+
+def _finish_wire(spec, ids, start, start_len, end, end_len) -> BuiltBatch:
+    """Apply the spec's wire format to freshly built int16 buffers."""
+    if spec.wire != "int8":
+        return ids, start, start_len, end, end_len
+    start = quantise_wire(start, start_len)
+    if end is not None:
+        end = quantise_wire(end, end_len)
     return ids, start, start_len, end, end_len

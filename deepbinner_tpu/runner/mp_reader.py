@@ -67,7 +67,7 @@ class _ShmRing:
 
         self.spec = spec
         b, buf = spec.batch_size, spec.buffer_size
-        self.sig_bytes = b * buf * 2      # int16
+        self.sig_bytes = b * buf * spec.wire_itemsize
         self.len_bytes = b * 4            # int32
         per_end = self.sig_bytes + self.len_bytes
         self.slot_bytes = per_end * (2 if spec.dual else 1)
@@ -83,14 +83,15 @@ class _ShmRing:
     def views(self, memory) -> tuple:
         """(start, start_len, end, end_len) numpy views over one slot."""
         b, buf = self.spec.batch_size, self.spec.buffer_size
+        sig_np = self.spec.wire_np
         o = 0
-        start = np.ndarray((b, buf), np.int16, buffer=memory.buf, offset=o)
+        start = np.ndarray((b, buf), sig_np, buffer=memory.buf, offset=o)
         o += self.sig_bytes
         start_len = np.ndarray((b,), np.int32, buffer=memory.buf, offset=o)
         o += self.len_bytes
         if not self.spec.dual:
             return start, start_len, None, None
-        end = np.ndarray((b, buf), np.int16, buffer=memory.buf, offset=o)
+        end = np.ndarray((b, buf), sig_np, buffer=memory.buf, offset=o)
         o += self.sig_bytes
         end_len = np.ndarray((b,), np.int32, buffer=memory.buf, offset=o)
         return start, start_len, end, end_len
@@ -197,14 +198,16 @@ def _pool_worker(
         slot = shm_free.get()
         b, buf = batch_spec.batch_size, batch_spec.buffer_size
         memory = shm_slots[slot]  # mmap: usable directly as an ndarray buffer
-        sig_bytes, len_bytes = b * buf * 2, b * 4
+        sig_np = batch_spec.wire_np
+        sig_bytes = b * buf * batch_spec.wire_itemsize
+        len_bytes = b * 4
         o = 0
-        np.ndarray((b, buf), np.int16, buffer=memory, offset=o)[:] = start
+        np.ndarray((b, buf), sig_np, buffer=memory, offset=o)[:] = start
         o += sig_bytes
         np.ndarray((b,), np.int32, buffer=memory, offset=o)[:] = start_len
         o += len_bytes
         if batch_spec.dual:
-            np.ndarray((b, buf), np.int16, buffer=memory, offset=o)[:] = end
+            np.ndarray((b, buf), sig_np, buffer=memory, offset=o)[:] = end
             o += sig_bytes
             np.ndarray((b,), np.int32, buffer=memory, offset=o)[:] = end_len
         out_queue.put((pass_id, _SHM, slot, ids))

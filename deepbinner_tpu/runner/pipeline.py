@@ -266,7 +266,8 @@ class ClassifyProgram:
         import numpy as np
 
         buf = self.cfg.preprocess.buffer_size
-        sig = jnp.zeros((batch_size, buf), jnp.int16)
+        wire = jnp.int8 if self.cfg.preprocess.wire == "int8" else jnp.int16
+        sig = jnp.zeros((batch_size, buf), wire)
         lengths = jnp.full((batch_size,), buf, jnp.int32)
         if self.cfg.dual_model:
             out = self.call_packed(sig, lengths, sig, lengths)

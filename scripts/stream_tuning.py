@@ -49,7 +49,8 @@ def main() -> None:
     files = find_all_fast5s(os.path.dirname(fast5_dir))
     program, cfg = bench._build_program(False, False, host_trim=True)
     spec = batch_spec_for(cfg.preprocess, args.batch_size, False)
-    batch_bytes = spec.batch_size * (spec.buffer_size * 2 + 4)
+    batch_bytes = spec.batch_size * (
+        spec.buffer_size * spec.wire_itemsize + 4)
 
     def emit(kind, **payload):
         print(json.dumps({"kind": kind, **payload}), flush=True)

@@ -1,6 +1,7 @@
 """Multi-process reader: parity with in-process reading + fault tolerance."""
 
 import numpy as np
+import pytest
 
 from deepbinner_tpu.runner.executor import ExecutorStats
 from deepbinner_tpu.runner.mp_reader import iter_signals_mp
@@ -95,16 +96,18 @@ def test_reader_pool_worker_built_batches(tmp_path):
         np.testing.assert_array_equal(erow[:n], signal[-n:][::-1])
 
 
-def test_reader_pool_shm_transport_bit_identical(tmp_path):
+@pytest.mark.parametrize("wire", ["int16", "int8"])
+def test_reader_pool_shm_transport_bit_identical(tmp_path, wire):
     """Shared-memory batch transport == pickled-queue transport, bit for bit,
-    across two passes (slot recycling), dual-end buffers included."""
+    across two passes (slot recycling), dual-end buffers included — at both
+    wire formats (int8 slots are half-size; sizing must match)."""
     from deepbinner_tpu.runner.hostbatch import BatchSpec
     from deepbinner_tpu.runner.mp_reader import ReaderPool
 
     simulate.make_dataset(tmp_path, reads_per_barcode=1, none_reads=3,
                           genome_length=300, seed=16, write_fastq=False)
     files = fast5_io.find_all_fast5s(tmp_path)
-    spec = BatchSpec(batch_size=4, buffer_size=256, dual=True)
+    spec = BatchSpec(batch_size=4, buffer_size=256, dual=True, wire=wire)
 
     def collect(pool):
         out = {}
