@@ -382,9 +382,12 @@ def main() -> None:
                         help="run the CNN through the fused Pallas kernels")
     parser.add_argument("--no-native-reader", action="store_true",
                         help="force h5py decode inside the reader workers")
-    parser.add_argument("--wire", default="int16", choices=["int16", "int8"],
-                        help="signal wire format (int8 = host z-score + "
-                             "sigma/16 quantisation, half the link bytes)")
+    parser.add_argument("--wire", default="int8", choices=["int16", "int8"],
+                        help="signal wire format (default int8: host "
+                             "z-score + sigma/16 quantisation, half the "
+                             "link bytes — 1.8x the upload ceiling and "
+                             "100%% call agreement vs int16 on 4096 reads, "
+                             "BENCH_WIRE_r04.jsonl; int16 = lossless raw)")
     parser.add_argument("--no-shm", action="store_true",
                         help="use the pickled-queue batch transport instead "
                              "of the shared-memory ring (A/B the transport)")

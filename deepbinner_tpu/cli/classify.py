@@ -76,11 +76,20 @@ def build_program(args) -> Tuple[object, object]:
         # throughput wall; docs/performance.md).  --device_trim restores
         # the fully in-graph path (same math, parity-tested).
         host_trim=not bool(getattr(args, "device_trim", False)),
-        wire=getattr(args, "wire", "int16"),
     )
-    if pre.wire == "int8" and not pre.host_trim:
+    # Wire default: int8 (half the link bytes; 100% call agreement vs int16
+    # on 4096 reads — BENCH_WIRE_r04.jsonl).  Quantisation runs in the
+    # workers after the open-pore trim, so --device_trim implies int16
+    # unless the user explicitly asked for the impossible combination.
+    wire = getattr(args, "wire", None)
+    if wire is None:
+        wire = "int16" if not pre.host_trim else "int8"
+    elif wire == "int8" and not pre.host_trim:
         quit_with_error("--wire int8 requires host-side trim "
                         "(drop --device_trim)")
+    import dataclasses as _dc
+
+    pre = _dc.replace(pre, wire=wire)
     calling = CallingConfig(
         min_score=args.min_score,
         score_diff=args.score_diff,

@@ -97,14 +97,15 @@ def _add_classify_common(parser: argparse.ArgumentParser) -> None:
                       help="fast5 reader worker processes (-1 = auto: 2 on "
                            "TPU, in-process on CPU; 0 = in-process "
                            "threads; >0 scales past the single-libhdf5 lock)")
-    perf.add_argument("--wire", default="int16", choices=["int16", "int8"],
-                      help="host->device signal format: int16 raw DAC "
-                           "(lossless), or int8 = workers z-score each read "
-                           "end and quantise at sigma/16 — half the link "
-                           "bytes; the in-graph per-window z-score erases "
-                           "the scale, leaving only ~0.018 sigma rounding "
-                           "noise (below the models' train-time noise "
-                           "augmentation)")
+    perf.add_argument("--wire", default=None, choices=["int16", "int8"],
+                      help="host->device signal format. int8 (default): "
+                           "workers z-score each read end and quantise at "
+                           "sigma/16 — half the link bytes; the in-graph "
+                           "per-window z-score erases the scale, leaving "
+                           "~0.018 sigma rounding noise (below the models' "
+                           "train-time noise augmentation; 100%% call "
+                           "agreement on 4096 reads, BENCH_WIRE_r04.jsonl). "
+                           "int16: lossless raw DAC samples")
     perf.add_argument("--shm_slots", type=int, default=8,
                       help="shared-memory batch-transport slots between "
                            "reader workers and the TPU client (0 = pickled "

@@ -58,8 +58,10 @@ def main() -> None:
     truth = {}
     with open(os.path.join(os.path.dirname(fast5_dir), "truth.tsv")) as handle:
         for line in handle:
-            read_id, barcode = line.split("\t")[:2]
-            truth[read_id] = int(barcode)
+            read_id, barcode = line.strip().split("\t")[:2]
+            # truth labels are 'barcodeNN' / 'none' (simulate.make_dataset)
+            truth[read_id] = (int(barcode.replace("barcode", ""))
+                              if barcode.startswith("barcode") else 0)
 
     programs = {}
     for wire in ("int16", "int8"):
