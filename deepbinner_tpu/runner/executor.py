@@ -166,8 +166,8 @@ def classify_batches(
     program: ClassifyProgram,
     batches: Iterable[BuiltBatch],
     stats: Optional[ExecutorStats] = None,
-    in_flight: int = 6,
-    prefetch: int = 3,
+    in_flight: int = 8,
+    prefetch: int = 4,
     dispatch_threads: int = 3,
 ) -> Iterator[ReadResult]:
     """Classify pre-built fixed-shape batches; yields ReadResults.
@@ -192,9 +192,11 @@ def classify_batches(
     is the sweet spot.  Batch order is preserved by the pending deque;
     per-batch results are independent, so determinism is unaffected.
     Threads call only jit entry points (no libhdf5).  ``in_flight`` must
-    leave the dispatch pool headroom: with 3 upload streams in flight a
-    6-deep pending window keeps the tunnel saturated while the oldest
-    result drains.
+    leave the dispatch pool headroom: with 3 upload streams in flight an
+    8-deep pending window keeps the tunnel saturated while the oldest
+    result drains (int8-era retune, /tmp→BENCH_STREAM artifacts: 6/3 was
+    the pickle-era optimum; with half-size batches the deeper 8/4 and
+    10/5 windows measured consistently above it).
     """
     import collections
     import queue as queue_mod

@@ -258,23 +258,22 @@ def main() -> int:
             if rows > 8192:
                 continue
             max_rows = 4096 if rows <= 4096 else 8192
-            if True:
-                try:
-                    fn = jax.jit(functools.partial(
-                        fused_conv1d_bn_relu, dilation=dil, relu=True,
-                        pool=pool, tile_n=tile, interpret=False,
-                        max_rows=max_rows))
-                    ms = time_fn(lambda: fn(xin, k, s, b),
-                                 reps=args.reps) * 1e3
-                    emit(kind="unit", geom=name, L=L, cin=ci, cout=co,
-                         path=f"pallas_t{tile}", max_rows=max_rows,
-                         ms=round(ms, 3),
-                         vs_xla=round(ms_ref / ms, 3),
-                         mfu_f32=round(
-                             layer_flops / (ms / 1e3) / V5E_F32_FLOPS, 4))
-                except Exception as error:  # noqa: BLE001
-                    emit(kind="unit", geom=name, path=f"pallas_t{tile}",
-                         max_rows=max_rows, error=_err_text(error, 300))
+            try:
+                fn = jax.jit(functools.partial(
+                    fused_conv1d_bn_relu, dilation=dil, relu=True,
+                    pool=pool, tile_n=tile, interpret=False,
+                    max_rows=max_rows))
+                ms = time_fn(lambda: fn(xin, k, s, b),
+                             reps=args.reps) * 1e3
+                emit(kind="unit", geom=name, L=L, cin=ci, cout=co,
+                     path=f"pallas_t{tile}", max_rows=max_rows,
+                     ms=round(ms, 3),
+                     vs_xla=round(ms_ref / ms, 3),
+                     mfu_f32=round(
+                         layer_flops / (ms / 1e3) / V5E_F32_FLOPS, 4))
+            except Exception as error:  # noqa: BLE001
+                emit(kind="unit", geom=name, path=f"pallas_t{tile}",
+                     max_rows=max_rows, error=_err_text(error, 300))
     return 0 if failures == 0 else 1
 
 

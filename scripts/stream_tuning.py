@@ -34,6 +34,7 @@ def main() -> None:
     parser.add_argument("--batch-size", type=int, default=512)
     parser.add_argument("--passes", type=int, default=2)
     parser.add_argument("--device-step-batches", type=int, default=24)
+    parser.add_argument("--wire", default="int8", choices=["int16", "int8"])
     args = parser.parse_args()
 
     import bench
@@ -47,7 +48,8 @@ def main() -> None:
 
     fast5_dir = bench.ensure_dataset(args.reads)
     files = find_all_fast5s(os.path.dirname(fast5_dir))
-    program, cfg = bench._build_program(False, False, host_trim=True)
+    program, cfg = bench._build_program(False, False, host_trim=True,
+                                        wire=args.wire)
     spec = batch_spec_for(cfg.preprocess, args.batch_size, False)
     batch_bytes = spec.batch_size * (
         spec.buffer_size * spec.wire_itemsize + 4)
@@ -96,15 +98,15 @@ def main() -> None:
     # shm_slots) — shm_slots > 0 swaps the pickled queue for the
     # shared-memory ring (mp_reader._ShmRing).
     candidates = [
-        (2, 6, 3, 3, 0),   # current default
-        (2, 8, 4, 3, 0),
-        (2, 10, 6, 3, 0),
-        (2, 8, 4, 4, 0),
-        (3, 8, 4, 3, 0),
-        (2, 6, 3, 2, 0),
-        (2, 6, 3, 3, 8),   # shm transport A/Bs of the best shapes
+        (2, 6, 3, 3, 8),   # current default (shm ring landed in r4)
+        (3, 6, 3, 3, 8),
         (2, 8, 4, 3, 8),
         (3, 8, 4, 3, 8),
+        (4, 8, 4, 3, 8),
+        (2, 6, 3, 2, 8),
+        (2, 10, 5, 3, 8),
+        (2, 6, 3, 3, 12),
+        (2, 6, 3, 3, 0),   # pickle-queue reference point
     ]
     for workers, in_flight, prefetch, threads, shm_slots in candidates:
         with ReaderPool(num_workers=workers, use_native=True,
