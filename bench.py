@@ -422,13 +422,16 @@ def main() -> None:
     fast5_dir = ensure_dataset(args.reads)
     print("[bench] dataset+baseline ready; claiming device …",
           file=sys.stderr, flush=True)
+    # Quantisation runs in the workers after the host-side trim, so the
+    # --device-trim A/B implies the lossless int16 wire.
+    wire = "int16" if args.device_trim else args.wire
     result = measure_tpu(fast5_dir, args.batch_size, args.reader_processes,
                          use_pallas=args.pallas,
                          native_reader=not args.no_native_reader,
                          passes=args.passes, dual=args.dual,
                          host_trim=not args.device_trim,
                          shm_slots=0 if args.no_shm else 8,
-                         wire=args.wire)
+                         wire=wire)
 
     value = result["reads_per_s"]
     vs = value / baseline["reads_per_s"] if baseline.get("reads_per_s") else None
@@ -443,7 +446,7 @@ def main() -> None:
         # 3 CPU passes) and the tunnel wall (achieved H2D vs a same-run
         # capacity probe) so a slow headline is attributable ex post.
         "baseline_spread": baseline.get("spread_reads_per_s"),
-        "wire": args.wire,
+        "wire": wire,
         "link_mbps": result.get("h2d_mbps"),
         "link_capacity_mbps": result.get("link_capacity_mbps"),
         "link_utilization": result.get("link_utilization"),
@@ -474,7 +477,7 @@ def main() -> None:
                            passes=1, dual=True,
                            host_trim=not args.device_trim,
                            shm_slots=0 if args.no_shm else 8,
-                           wire=args.wire)
+                           wire=wire)
         dvs = dual["reads_per_s"] / baseline["reads_per_s"]
         print(json.dumps({
             "metric": "classify_dual_reads_per_sec_per_chip",

@@ -173,6 +173,11 @@ def _make_reader_pool(program, args):
         num_workers=reader_processes,
         use_native=not getattr(args, "no_native_reader", False),
         trim_head=head, trim_tail=tail,
+        # Realtime batches are small (one poll's worth of files): a healthy
+        # pool answers in seconds, so a dead worker (e.g. libhdf5 segfault
+        # on a file MinKNOW is still writing) should surface fast — the
+        # watch loop respawns the pool and keeps running.
+        stall_timeout=60.0,
     )
 
 
@@ -204,9 +209,27 @@ def realtime(args) -> None:
             if new_files:
                 batch_start = time.monotonic()
                 if pool is not None:
-                    moves, unreadable = _classify_new_files_pool(
-                        program, pool, new_files, args, counts
-                    )
+                    try:
+                        moves, unreadable = _classify_new_files_pool(
+                            program, pool, new_files, args, counts
+                        )
+                    except RuntimeError as error:
+                        # A worker died mid-batch (native-code crash on a
+                        # half-written file kills the process, which no
+                        # in-worker `except` can catch) — the pool stall
+                        # surfaces here.  Respawn the workers and retry the
+                        # files next scan; after _MAX_ATTEMPTS pool
+                        # failures a poison file is abandoned like any
+                        # other persistently unreadable one.  The watch
+                        # mode lives for days; it must outlive its pool.
+                        log(f"  reader pool failed ({error}); respawning "
+                            f"workers")
+                        pool.close()
+                        pool = _make_reader_pool(program, args)
+                        for path in new_files:
+                            state.record_attempt(path, True)
+                        time.sleep(args.poll_interval)
+                        continue
                 else:
                     moves, unreadable = _classify_new_files(
                         program, new_files, args, counts, read_fn=read_fn

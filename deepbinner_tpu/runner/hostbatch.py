@@ -173,14 +173,18 @@ def quantise_wire(signal: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     """
     t = signal.shape[1]
     lens = np.clip(lengths, 0, t).astype(np.int64)
-    n = np.maximum(lens, 1).astype(np.float32)
+    n = np.maximum(lens, 1).astype(np.float64)
     x = signal.astype(np.float32)
-    s1 = np.einsum("ij->i", x, dtype=np.float32)
-    s2 = np.einsum("ij,ij->i", x, x, dtype=np.float32)
+    # Row stats accumulate in float64: s2/n - mean² cancels catastrophically
+    # in f32 when the DC offset dwarfs σ (mean²/var ~1e6 eats all 24
+    # mantissa bits over a 6144-sample sum), which would blow `scale` up
+    # and clip the whole read to ±127.  f64 einsum is ~1 ms at this size.
+    s1 = np.einsum("ij->i", x, dtype=np.float64)
+    s2 = np.einsum("ij,ij->i", x, x, dtype=np.float64)
     mean = s1 / n
     var = np.maximum(s2 / n - mean * mean, 0.0)
-    scale = WIRE_SCALE / (np.sqrt(var) + 1e-8)
-    x -= mean[:, None]
+    scale = (WIRE_SCALE / (np.sqrt(var) + 1e-8)).astype(np.float32)
+    x -= mean.astype(np.float32)[:, None]
     x *= scale[:, None]
     np.rint(x, out=x)
     np.clip(x, -127.0, 127.0, out=x)

@@ -82,19 +82,7 @@ class _ShmRing:
 
     def views(self, memory) -> tuple:
         """(start, start_len, end, end_len) numpy views over one slot."""
-        b, buf = self.spec.batch_size, self.spec.buffer_size
-        sig_np = self.spec.wire_np
-        o = 0
-        start = np.ndarray((b, buf), sig_np, buffer=memory.buf, offset=o)
-        o += self.sig_bytes
-        start_len = np.ndarray((b,), np.int32, buffer=memory.buf, offset=o)
-        o += self.len_bytes
-        if not self.spec.dual:
-            return start, start_len, None, None
-        end = np.ndarray((b, buf), sig_np, buffer=memory.buf, offset=o)
-        o += self.sig_bytes
-        end_len = np.ndarray((b,), np.int32, buffer=memory.buf, offset=o)
-        return start, start_len, end, end_len
+        return _slot_views(memory.buf, self.spec)
 
     def close(self) -> None:
         for memory in self.slots:
@@ -105,22 +93,65 @@ class _ShmRing:
                 pass
 
 
+def _slot_views(buffer, spec: "BatchSpec") -> tuple:
+    """(start, start_len, end, end_len) ndarray views over one slot buffer.
+
+    THE single definition of the slot byte layout — used by the parent
+    (`_ShmRing.views`, over `SharedMemory.buf`) and the workers
+    (`emit_batch`, over the raw mmap).  A layout described twice would
+    corrupt batches silently on the first divergence."""
+    b, buf_size = spec.batch_size, spec.buffer_size
+    sig_np = spec.wire_np
+    sig_bytes = b * buf_size * spec.wire_itemsize
+    len_bytes = b * 4
+    o = 0
+    start = np.ndarray((b, buf_size), sig_np, buffer=buffer, offset=o)
+    o += sig_bytes
+    start_len = np.ndarray((b,), np.int32, buffer=buffer, offset=o)
+    o += len_bytes
+    if not spec.dual:
+        return start, start_len, None, None
+    end = np.ndarray((b, buf_size), sig_np, buffer=buffer, offset=o)
+    o += sig_bytes
+    end_len = np.ndarray((b,), np.int32, buffer=buffer, offset=o)
+    return start, start_len, end, end_len
+
+
 def _attach_slots(names):
     """Child-side attach via raw mmap of the POSIX shm files.
 
-    Children must NOT construct `SharedMemory(name=...)`: each attach
-    registers the name with the (shared) resource tracker whose cache is a
-    set, so parent + N children produce one register entry but N+1
-    unregisters — a KeyError traceback in the tracker at exit.  Plain
-    mmap of /dev/shm/<name> sidesteps the tracker entirely; the parent
-    alone owns create/unlink."""
+    Children must NOT construct `SharedMemory(name=...)` when avoidable:
+    each attach registers the name with the (shared) resource tracker
+    whose cache is a set, so parent + N children produce one register
+    entry but N+1 unregisters — a KeyError traceback in the tracker at
+    exit.  Plain mmap of /dev/shm/<name> sidesteps the tracker entirely;
+    the parent alone owns create/unlink.  Hosts without /dev/shm (macOS)
+    fall back to SharedMemory + best-effort unregister — the tracker
+    noise is cosmetic, a hung default transport would not be."""
     import mmap
 
     slots = []
     for name in names:
-        with open(f"/dev/shm/{name.lstrip('/')}", "r+b") as handle:
-            slots.append(mmap.mmap(handle.fileno(), 0))
+        try:
+            with open(f"/dev/shm/{name.lstrip('/')}", "r+b") as handle:
+                slots.append(mmap.mmap(handle.fileno(), 0))
+        except OSError:
+            from multiprocessing import resource_tracker, shared_memory
+
+            memory = shared_memory.SharedMemory(name=name)
+            try:
+                resource_tracker.unregister(memory._name, "shared_memory")  # noqa: SLF001
+            except Exception:  # noqa: BLE001 — tracker API varies by version
+                pass
+            _ATTACHED_SEGMENTS.append(memory)  # keep the mapping alive
+            slots.append(memory.buf)
     return slots
+
+
+# Child-side keepalive for the SharedMemory fallback in _attach_slots:
+# np.ndarray views into `memory.buf` do not hold the SharedMemory object,
+# and a GC'd SharedMemory unmaps the segment under the views.
+_ATTACHED_SEGMENTS: list = []
 
 
 def _trim_signal(signal: np.ndarray, head: int, tail: int) -> np.ndarray:
@@ -196,20 +227,12 @@ def _pool_worker(
         # flight — the same backpressure the bounded queue provides.
         ids, start, start_len, end, end_len = batch
         slot = shm_free.get()
-        b, buf = batch_spec.batch_size, batch_spec.buffer_size
-        memory = shm_slots[slot]  # mmap: usable directly as an ndarray buffer
-        sig_np = batch_spec.wire_np
-        sig_bytes = b * buf * batch_spec.wire_itemsize
-        len_bytes = b * 4
-        o = 0
-        np.ndarray((b, buf), sig_np, buffer=memory, offset=o)[:] = start
-        o += sig_bytes
-        np.ndarray((b,), np.int32, buffer=memory, offset=o)[:] = start_len
-        o += len_bytes
+        vs, vsl, ve, vel = _slot_views(shm_slots[slot], batch_spec)
+        vs[:] = start
+        vsl[:] = start_len
         if batch_spec.dual:
-            np.ndarray((b, buf), sig_np, buffer=memory, offset=o)[:] = end
-            o += sig_bytes
-            np.ndarray((b,), np.int32, buffer=memory, offset=o)[:] = end_len
+            ve[:] = end
+            vel[:] = end_len
         out_queue.put((pass_id, _SHM, slot, ids))
 
     while True:

@@ -208,3 +208,56 @@ def test_realtime_skips_garbage_but_retries(tmp_path, tiny_model):
     ])
     assert not (in_dir / "good.fast5").exists()  # classified + moved
     assert (in_dir / "bad.fast5").exists()       # left in place, not moved
+
+
+def test_realtime_survives_reader_pool_death(tmp_path, tiny_model, monkeypatch):
+    """A dead/stalled pool (e.g. a worker segfault on a half-written file)
+    must not abort the days-long watch mode: the loop respawns the workers
+    and the files are sorted on a later scan."""
+    from deepbinner_tpu.cli import realtime as rt
+
+    real = rt._classify_new_files_pool
+    fail_once = {"armed": True}
+
+    def flaky(program, pool, new_files, args, counts):
+        if fail_once["armed"]:
+            fail_once["armed"] = False
+            raise RuntimeError("reader pool stalled (simulated worker death)")
+        return real(program, pool, new_files, args, counts)
+
+    monkeypatch.setattr(rt, "_classify_new_files_pool", flaky)
+
+    in_dir = tmp_path / "incoming"
+    out_dir = tmp_path / "sorted"
+    in_dir.mkdir()
+    n_reads = 4
+    _producer(str(in_dir), n_reads, 0.0)  # all files present up front
+    stop = tmp_path / "stop"
+
+    def monitor():
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline:
+            moved = sum(len(names) for _r, _d, names in os.walk(out_dir))
+            if moved >= n_reads:
+                break
+            time.sleep(0.2)
+        stop.write_text("")
+
+    watcher = threading.Thread(target=monitor, daemon=True)
+    watcher.start()
+    main([
+        "realtime", "--in_dir", str(in_dir), "--out_dir", str(out_dir),
+        "-s", tiny_model, "--scan_size", "768", "--batch_size", "8",
+        "--min_score", "0.0", "--score_diff", "0.0",
+        "--poll_interval", "0.05", "--stop_file", str(stop),
+        "--reader_processes", "1", "--no_native_reader",
+    ])
+    watcher.join()
+    assert not fail_once["armed"], "the simulated failure never fired"
+    moved = [
+        name
+        for _root, _dirs, names in os.walk(out_dir)
+        for name in names
+        if name.endswith(".fast5")
+    ]
+    assert len(moved) == n_reads, "files lost after pool respawn"

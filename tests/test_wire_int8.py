@@ -133,3 +133,18 @@ def test_stock_model_accuracy_floor_int8():
     exact = sum(1 for rid, t in truth.items() if calls[rid] == t)
     assert not wrong, f"wrong-barcode calls on int8 wire: {wrong}"
     assert exact >= 38, f"int8 wire exact {exact}/40 < 95% floor"
+
+
+def test_quantise_wire_high_dc_offset(rng):
+    """f32 accumulation of s2/n - mean^2 cancels catastrophically when the
+    DC offset dwarfs sigma (scale blows up, the read clips to +-127);
+    stats must accumulate in f64."""
+    sig = (20000 + 10 * rng.normal(size=(2, 6144))).astype(np.int16)
+    lens = np.full((2,), 6144)
+    q = quantise_wire(sig, lens)
+    frac_clipped = (np.abs(q) >= 127).mean()
+    assert frac_clipped < 0.01, f"{frac_clipped:.1%} of samples clipped"
+    # and the quantised signal still correlates with the raw one
+    x = sig[0].astype(np.float64)
+    c = np.corrcoef(x - x.mean(), q[0].astype(np.float64))[0, 1]
+    assert c > 0.99
