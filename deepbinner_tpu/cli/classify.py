@@ -182,7 +182,14 @@ class StreamRunner:
             import jax
 
             platform = jax.devices()[0].platform
-            reader_processes = 2 if platform not in ("cpu",) else 0
+            # Auto: scale decode with the host (decode is the wall once the
+            # int8 wire un-bottlenecks the link) but leave cores for the
+            # dispatch pool + feeder; 2 on the 2-vCPU bench host, up to 8
+            # on a production TPU-VM.  CPU platform decodes in-process.
+            if platform in ("cpu",):
+                reader_processes = 0
+            else:
+                reader_processes = max(2, min(8, (os.cpu_count() or 2) - 2))
         if reader_processes > 0:
             from deepbinner_tpu.runner.executor import batch_spec_for
             from deepbinner_tpu.runner.mp_reader import ReaderPool
