@@ -166,10 +166,14 @@ def test_two_process_classify_e2e_matches_single_process(tmp_path):
         for pid in range(2)
     ]
     def strip_gloo(out: str) -> str:
-        # jax's CPU collectives (Gloo) print connection banners on *stdout*.
+        # jax's CPU collectives (Gloo) print connection banners on *stdout*,
+        # in two observed shapes: "[Gloo] ..." and a bare "<rank> is
+        # connected to N peer ranks. ..." line that appears
+        # nondeterministically.  Neither is TSV; strip both.
         return "".join(
             line for line in out.splitlines(keepends=True)
             if not line.startswith("[Gloo]")
+            and "connected peer ranks" not in line
         )
 
     outputs = []
