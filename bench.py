@@ -254,18 +254,21 @@ def measure_link_capacity(batch_bytes: int, streams: int = 3,
         return 0.0
 
 
-def measure_latency(batch_size: int = 16, trials: int = 20) -> dict:
+def measure_latency(batch_size: int = 16, trials: int = 20,
+                    wire: str = "int8") -> dict:
     """Realtime-mode latency: signal-ready → calls-on-host for a small batch.
 
     This is the number the MinKNOW latency budget constrains (BASELINE.json
     config 5): how long after a batch of fresh reads appears until their
-    calls are available to move files.
+    calls are available to move files.  The timed loop includes the batch
+    build (trim + quantise at the production-default wire) exactly as
+    realtime pays it.
     """
     import numpy as np
 
     from deepbinner_tpu.runner.executor import build_batch
 
-    program, cfg = _build_program(False, False)
+    program, cfg = _build_program(False, False, wire=wire)
     program.warm_up(batch_size)
 
     rng = np.random.default_rng(0)
