@@ -27,6 +27,7 @@ def main():
     parser.add_argument("--require-both", action="store_true")
     parser.add_argument("--seed", type=int, default=4242)
     parser.add_argument("--platform", default="default", choices=["default", "cpu"])
+    parser.add_argument("--wire", default="int16", choices=["int16", "int8"])
     args = parser.parse_args()
     if args.platform == "cpu":
         import jax
@@ -48,7 +49,8 @@ def main():
     assert end_cfg == net_cfg
 
     pre = PreprocessConfig(window=net_cfg.input_length,
-                           stride=net_cfg.input_length // 2)
+                           stride=net_cfg.input_length // 2,
+                           host_trim=args.wire == "int8", wire=args.wire)
     cfg = ClassifyConfig(
         pre, CallingConfig(require_both=args.require_both), dual_model=True
     )
