@@ -385,7 +385,7 @@ def main() -> None:
                         help="run the CNN through the fused Pallas kernels")
     parser.add_argument("--no-native-reader", action="store_true",
                         help="force h5py decode inside the reader workers")
-    parser.add_argument("--wire", default="int8", choices=["int16", "int8"],
+    parser.add_argument("--wire", default=None, choices=["int16", "int8"],
                         help="signal wire format (default int8: host "
                              "z-score + sigma/16 quantisation, half the "
                              "link bytes — 1.8x the upload ceiling and "
@@ -407,8 +407,22 @@ def main() -> None:
                         help="skip the secondary dual/latency stderr metrics")
     args = parser.parse_args()
 
+    # Resolve the wire format ONCE, before any measurement, so every metric
+    # in this run (throughput, dual, latency) measures the same wire.
+    # Quantisation runs in the workers after the host-side trim, so
+    # --device-trim implies the lossless int16 wire; combining it with an
+    # EXPLICIT --wire int8 is an error, mirroring the classify CLI
+    # (round-4 ADVICE, bench.py:427).
+    if args.device_trim:
+        if args.wire == "int8":
+            parser.error("--wire int8 requires host-side trim "
+                         "(drop --device-trim)")
+        wire = "int16"
+    else:
+        wire = args.wire or "int8"
+
     if args.latency:
-        result = measure_latency()
+        result = measure_latency(wire=wire)
         print(json.dumps({
             "metric": "realtime_batch_latency_p50",
             "value": result["p50_ms"],
@@ -425,9 +439,6 @@ def main() -> None:
     fast5_dir = ensure_dataset(args.reads)
     print("[bench] dataset+baseline ready; claiming device …",
           file=sys.stderr, flush=True)
-    # Quantisation runs in the workers after the host-side trim, so the
-    # --device-trim A/B implies the lossless int16 wire.
-    wire = "int16" if args.device_trim else args.wire
     result = measure_tpu(fast5_dir, args.batch_size, args.reader_processes,
                          use_pallas=args.pallas,
                          native_reader=not args.no_native_reader,
@@ -491,7 +502,7 @@ def main() -> None:
     except Exception as error:  # noqa: BLE001
         print(f"[bench] dual-model extra failed: {error}", file=sys.stderr)
     try:
-        lat = measure_latency(trials=10)
+        lat = measure_latency(trials=10, wire=wire)
         print(json.dumps({
             "metric": "realtime_batch_latency_p50",
             "value": lat["p50_ms"],

@@ -217,19 +217,34 @@ def realtime(args) -> None:
                         # A worker died mid-batch (native-code crash on a
                         # half-written file kills the process, which no
                         # in-worker `except` can catch) — the pool stall
-                        # surfaces here.  Respawn the workers and retry the
-                        # files next scan; after _MAX_ATTEMPTS pool
-                        # failures a poison file is abandoned like any
-                        # other persistently unreadable one.  The watch
-                        # mode lives for days; it must outlive its pool.
+                        # surfaces here.  Respawn the workers, then isolate
+                        # the culprit by retrying this scan's files ONE AT A
+                        # TIME: only a file that individually kills the pool
+                        # is charged an attempt (and abandoned after
+                        # _MAX_ATTEMPTS scans, like any persistently
+                        # unreadable file); healthy files that merely shared
+                        # the scan are classified right now instead of being
+                        # silently abandoned with it (round-4 ADVICE,
+                        # medium).  The watch mode lives for days; it must
+                        # outlive its pool.
                         log(f"  reader pool failed ({error}); respawning "
-                            f"workers")
+                            f"workers and isolating the culprit")
                         pool.close()
                         pool = _make_reader_pool(program, args)
+                        moves, unreadable = {}, set()
                         for path in new_files:
-                            state.record_attempt(path, True)
-                        time.sleep(args.poll_interval)
-                        continue
+                            try:
+                                one_moves, one_bad = _classify_new_files_pool(
+                                    program, pool, [path], args, counts
+                                )
+                                moves.update(one_moves)
+                                unreadable |= one_bad
+                            except RuntimeError as err2:
+                                log(f"  {os.path.basename(path)} crashed the "
+                                    f"pool ({err2}); respawning")
+                                pool.close()
+                                pool = _make_reader_pool(program, args)
+                                unreadable.add(path)
                 else:
                     moves, unreadable = _classify_new_files(
                         program, new_files, args, counts, read_fn=read_fn

@@ -261,3 +261,61 @@ def test_realtime_survives_reader_pool_death(tmp_path, tiny_model, monkeypatch):
         if name.endswith(".fast5")
     ]
     assert len(moved) == n_reads, "files lost after pool respawn"
+
+
+def test_realtime_poison_file_isolated(tmp_path, tiny_model, monkeypatch):
+    """A file that crashes the pool on EVERY scan must not take the healthy
+    files in its scan down with it: after a respawn the loop retries the
+    scan one file at a time, so only the culprit is charged attempts while
+    its neighbours are classified immediately (round-4 ADVICE, medium —
+    the old handler abandoned every file present during 5 poisoned scans).
+    """
+    from deepbinner_tpu.cli import realtime as rt
+
+    real = rt._classify_new_files_pool
+    crashes = {"n": 0}
+
+    def flaky(program, pool, new_files, args, counts):
+        if any(os.path.basename(p) == "poison.fast5" for p in new_files):
+            crashes["n"] += 1
+            raise RuntimeError("simulated native crash in a worker")
+        return real(program, pool, new_files, args, counts)
+
+    monkeypatch.setattr(rt, "_classify_new_files_pool", flaky)
+
+    in_dir = tmp_path / "incoming"
+    out_dir = tmp_path / "sorted"
+    in_dir.mkdir()
+    n_reads = 3
+    _producer(str(in_dir), n_reads, 0.0)  # healthy files, present up front
+    (in_dir / "poison.fast5").write_bytes(b"crashes the pool, per flaky()")
+    stop = tmp_path / "stop"
+
+    def monitor():  # stop once every healthy file is sorted (or timeout)
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline:
+            moved = sum(len(names) for _r, _d, names in os.walk(out_dir))
+            if moved >= n_reads:
+                break
+            time.sleep(0.2)
+        stop.write_text("")
+
+    watcher = threading.Thread(target=monitor, daemon=True)
+    watcher.start()
+    main([
+        "realtime", "--in_dir", str(in_dir), "--out_dir", str(out_dir),
+        "-s", tiny_model, "--scan_size", "768", "--batch_size", "8",
+        "--min_score", "0.0", "--score_diff", "0.0",
+        "--poll_interval", "0.05", "--stop_file", str(stop),
+        "--reader_processes", "1", "--no_native_reader",
+    ])
+    watcher.join()
+    assert crashes["n"] >= 2, "the poison file never exercised the handler"
+    moved = [
+        name
+        for _root, _dirs, names in os.walk(out_dir)
+        for name in names
+        if name.endswith(".fast5")
+    ]
+    assert len(moved) == n_reads, "healthy files were abandoned with the culprit"
+    assert (in_dir / "poison.fast5").exists()  # never moved, only abandoned
