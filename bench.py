@@ -11,8 +11,9 @@ Prints ONE JSON line to stdout:
   driver), flagship full-size DemuxNet.  Methodology: persistent reader
   pool, one untimed warm pass (page cache + dispatch path), then
   ``--passes`` timed passes over ``--reads`` (default 4096) reads; the
-  reported value is the mean, per-pass numbers go to stderr so run-to-run
-  variance is visible.
+  reported value is the MEDIAN of the passes (default 3 — matching the
+  baseline denominator's treatment), per-pass numbers stay in the JSON
+  line so run-to-run variance is attributable.
 - "vs_baseline": value ÷ the reference-equivalent CPU pipeline's reads/s.
   The reference itself is unrunnable here (empty mount, no network —
   SURVEY.md §0), so the baseline is the same architecture + pipeline on
@@ -106,8 +107,8 @@ def _build_program(use_pallas: bool, dual: bool, host_trim: bool = True,
 
 def measure_tpu(fast5_dir: str, batch_size: int, reader_workers: int,
                 use_pallas: bool = False, native_reader: bool = True,
-                passes: int = 2, dual: bool = False,
-                host_trim: bool = True, shm_slots: int = 8,
+                passes: int = 3, dual: bool = False,
+                host_trim: bool = True, shm_slots: int = 16,
                 wire: str = "int16") -> dict:
     """Steady-state end-to-end throughput: warm pass + `passes` timed passes.
 
@@ -176,8 +177,10 @@ def measure_tpu(fast5_dir: str, batch_size: int, reader_workers: int,
         # path end to end, and settles allocators on both sides.
         warm_stats = ExecutorStats()
         t0 = time.monotonic()
-        for _ in classify_batches(program, pool.iter_batches(files, warm_stats),
-                                  stats=warm_stats):
+        for _ in classify_batches(
+            program, pool.iter_batches(files, warm_stats, copy=False),
+            stats=warm_stats,
+        ):
             pass
         warm_s = time.monotonic() - t0
 
@@ -189,7 +192,8 @@ def measure_tpu(fast5_dir: str, batch_size: int, reader_workers: int,
             t0 = time.monotonic()
             n = 0
             for _result in classify_batches(
-                program, pool.iter_batches(files, stats), stats=stats,
+                program, pool.iter_batches(files, stats, copy=False),
+                stats=stats,
             ):
                 n += 1
             elapsed = time.monotonic() - t0
@@ -198,9 +202,16 @@ def measure_tpu(fast5_dir: str, batch_size: int, reader_workers: int,
 
         link_capacity = measure_link_capacity(batch_bytes)
 
+    # The reported value is the MEDIAN of the timed passes (the baseline
+    # denominator gets the same treatment): int8 streaming passes have
+    # swung 2.5x within one artifact on this host (BENCH_WIRE_r04.jsonl),
+    # so a single slow pass must not define a round (round-4 VERDICT
+    # weak #5).  Per-pass numbers stay in the JSON for attribution.
+    ranked = sorted(per_pass)
     return {
         "reads": n,
-        "reads_per_s": sum(per_pass) / len(per_pass),
+        "reads_per_s": ranked[len(ranked) // 2],
+        "mean_reads_per_s": sum(per_pass) / len(per_pass),
         "per_pass_reads_per_s": [round(v, 1) for v in per_pass],
         "h2d_mbps": round(sum(per_pass_mbps) / len(per_pass_mbps), 1),
         "per_pass_h2d_mbps": [round(v, 1) for v in per_pass_mbps],
@@ -372,8 +383,8 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--reads", type=int, default=4096)
     parser.add_argument("--batch-size", type=int, default=512)
-    parser.add_argument("--passes", type=int, default=2,
-                        help="timed measurement passes (mean is reported)")
+    parser.add_argument("--passes", type=int, default=3,
+                        help="timed measurement passes (median is reported)")
     parser.add_argument("--reader-processes", type=int, default=2,
                         help="fast5 decode worker processes")
     parser.add_argument("--measure-baseline", action="store_true",
@@ -444,7 +455,7 @@ def main() -> None:
                          native_reader=not args.no_native_reader,
                          passes=args.passes, dual=args.dual,
                          host_trim=not args.device_trim,
-                         shm_slots=0 if args.no_shm else 8,
+                         shm_slots=0 if args.no_shm else 16,
                          wire=wire)
 
     value = result["reads_per_s"]
@@ -460,6 +471,9 @@ def main() -> None:
         # 3 CPU passes) and the tunnel wall (achieved H2D vs a same-run
         # capacity probe) so a slow headline is attributable ex post.
         "baseline_spread": baseline.get("spread_reads_per_s"),
+        # Median of ≥3 timed passes (round-4 VERDICT item 1c): per-pass
+        # rates recorded so one slow pass is visible, not definitional.
+        "per_pass": result.get("per_pass_reads_per_s"),
         "wire": wire,
         "link_mbps": result.get("h2d_mbps"),
         "link_capacity_mbps": result.get("link_capacity_mbps"),
@@ -490,7 +504,7 @@ def main() -> None:
                            native_reader=not args.no_native_reader,
                            passes=1, dual=True,
                            host_trim=not args.device_trim,
-                           shm_slots=0 if args.no_shm else 8,
+                           shm_slots=0 if args.no_shm else 16,
                            wire=wire)
         dvs = dual["reads_per_s"] / baseline["reads_per_s"]
         print(json.dumps({

@@ -191,7 +191,10 @@ class StreamRunner:
             else:
                 reader_processes = max(2, min(8, (os.cpu_count() or 2) - 2))
         if reader_processes > 0:
-            from deepbinner_tpu.runner.executor import batch_spec_for
+            from deepbinner_tpu.runner.executor import (
+                MIN_SHM_SLOTS,
+                batch_spec_for,
+            )
             from deepbinner_tpu.runner.mp_reader import ReaderPool
 
             log(f"  {reader_processes} reader worker process(es), "
@@ -202,14 +205,22 @@ class StreamRunner:
                 program.cfg.preprocess, args.batch_size,
                 program.cfg.dual_model,
             )
+            # Shared-memory batch transport: measured ~2x streaming
+            # throughput vs pickle+pipe on the bench host (r4
+            # stream_tuning A/B — the pickle memcpy fights the decode
+            # workers and dispatch threads for the same cores).  Since
+            # the zero-copy path holds a slot for every batch in the
+            # classify pipeline's in-flight window, fewer slots than the
+            # window would stall the writers — clamp up, loudly.
+            shm_slots = int(getattr(args, "shm_slots", MIN_SHM_SLOTS + 2))
+            if 0 < shm_slots < MIN_SHM_SLOTS:
+                log(f"  --shm_slots {shm_slots} is below the classify "
+                    f"pipeline's in-flight window; using {MIN_SHM_SLOTS}")
+                shm_slots = MIN_SHM_SLOTS
             self.pool = ReaderPool(
                 num_workers=reader_processes, batch_spec=spec,
                 use_native=not getattr(args, "no_native_reader", False),
-                # Shared-memory batch transport: measured ~2x streaming
-                # throughput vs pickle+pipe on the bench host (r4
-                # stream_tuning A/B — the pickle memcpy fights the decode
-                # workers and dispatch threads for the same cores).
-                shm_slots=int(getattr(args, "shm_slots", 8)),
+                shm_slots=shm_slots,
             )
         else:
             self.read_fn = _select_read_fn(args)
@@ -219,7 +230,11 @@ class StreamRunner:
             from deepbinner_tpu.runner.executor import classify_batches
 
             return classify_batches(
-                self.program, self.pool.iter_batches(files, self.stats),
+                self.program,
+                # copy=False: batches stay in the shm slot until this
+                # batch's result is fetched — device_put reads straight
+                # from shared memory, zero consumer-side copies.
+                self.pool.iter_batches(files, self.stats, copy=False),
                 stats=self.stats,
             )
         from deepbinner_tpu.runner.executor import classify_files

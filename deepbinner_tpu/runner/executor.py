@@ -162,12 +162,22 @@ def build_batch(
     return build_batch_arrays(reads, batch_spec_for(cfg, batch_size, dual))
 
 
+# Streaming pipeline window (measured optima on the tunnel host — see the
+# classify_batches docstring).  Exported so slot-count sizing elsewhere
+# (StreamRunner, bench) can cover the whole in-flight window:
+# a zero-copy shm pass holds up to IN_FLIGHT pending + PREFETCH queued
+# slots at once, so the ring needs at least MIN_SHM_SLOTS.
+IN_FLIGHT = 8
+PREFETCH = 4
+MIN_SHM_SLOTS = IN_FLIGHT + PREFETCH + 2
+
+
 def classify_batches(
     program: ClassifyProgram,
     batches: Iterable[BuiltBatch],
     stats: Optional[ExecutorStats] = None,
-    in_flight: int = 8,
-    prefetch: int = 4,
+    in_flight: int = IN_FLIGHT,
+    prefetch: int = PREFETCH,
     dispatch_threads: int = 3,
 ) -> Iterator[ReadResult]:
     """Classify pre-built fixed-shape batches; yields ReadResults.
@@ -240,10 +250,17 @@ def classify_batches(
         batches = iter_fed()
 
     def drain_one() -> Iterator[ReadResult]:
-        ids, packed = pending.popleft()
+        ids, packed, release = pending.popleft()
         if executor is not None:
             packed = packed.result()  # future → device array
         out = unpack_call_table(packed)  # ONE device→host transfer per batch
+        if release is not None:
+            # Zero-copy shm batch: the np.asarray above fetched THIS
+            # batch's result D2H, which fences its own upload (the compute
+            # consumed the input) — the only reliable completion signal on
+            # the axon tunnel, where block_until_ready is a no-op.  Only
+            # now may the slot be recycled to a writer.
+            release()
         # Batch the numpy→Python conversions (one C loop per field, not
         # three `int()` calls per read) — measurable on a 2-vCPU host at
         # thousands of reads/s where this loop competes with the dispatch
@@ -267,12 +284,17 @@ def classify_batches(
                 else program.call_packed(s, sl))
 
     try:
-        for ids, s, sl, e, el in batches:
+        for batch in batches:
+            # 5-tuple: owned arrays.  6-tuple (mp_reader iter_batches
+            # copy=False): shm slot views + a release callback to recycle
+            # the slot once this batch's result has been fetched.
+            ids, s, sl, e, el = batch[:5]
+            release = batch[5] if len(batch) > 5 else None
             if executor is not None:
                 packed = executor.submit(dispatch, s, sl, e, el)
             else:
                 packed = dispatch(s, sl, e, el)
-            pending.append((ids, packed))
+            pending.append((ids, packed, release))
             stats.batches += 1
             if len(pending) >= in_flight:
                 yield from drain_one()
@@ -280,7 +302,16 @@ def classify_batches(
             yield from drain_one()
     finally:
         if executor is not None:
+            # wait=True: in-progress dispatches finish their uploads before
+            # any abandoned slot below is recycled to a writer.
             executor.shutdown(wait=True, cancel_futures=True)
+        # Consumer abandoned mid-pass (exception / early close): the
+        # pending batches' results are discarded, so their slots can go
+        # straight back (releases are idempotent; the pool also reclaims
+        # at next pass as a backstop).
+        for _ids, _packed, release in pending:
+            if release is not None:
+                release()
 
 
 def classify_stream(

@@ -160,7 +160,12 @@ class BatchSpec:
 WIRE_SCALE = 16.0
 
 
-def quantise_wire(signal: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+def quantise_wire(
+    signal: np.ndarray,
+    lengths: np.ndarray,
+    out: Optional[np.ndarray] = None,
+    f32: Optional[np.ndarray] = None,
+) -> np.ndarray:
     """Z-score each row over its valid samples and quantise to int8.
 
     ``signal``: (n, T) int16, **zero-padded past** ``lengths`` (that
@@ -170,11 +175,22 @@ def quantise_wire(signal: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     bit-reproducible).  Pure numpy, one f32 temporary, in-place affine —
     this runs per batch in the reader workers on small hosts, so constant
     factors are throughput (measured 3.6× over the masked formulation).
+
+    ``out``: optional (≥n, T) int8 destination written IN PLACE — pass a
+    shared-memory slot view to put the quantised batch directly on the
+    transport with zero further copies.  ``f32``: optional persistent
+    (≥n, T) float32 scratch, so the per-batch temporary stops churning
+    the allocator on hosts where worker CPU is the throughput wall.
+    Returns the (n, T) result (== ``out[:n]`` when ``out`` is given).
     """
-    t = signal.shape[1]
-    lens = np.clip(lengths, 0, t).astype(np.int64)
+    n_rows, t = signal.shape
+    lens = np.clip(lengths[:n_rows], 0, t).astype(np.int64)
     n = np.maximum(lens, 1).astype(np.float64)
-    x = signal.astype(np.float32)
+    if f32 is None:
+        x = signal.astype(np.float32)
+    else:
+        x = f32[:n_rows, :t]
+        np.copyto(x, signal, casting="unsafe")
     # Row stats accumulate in float64: s2/n - mean² cancels catastrophically
     # in f32 when the DC offset dwarfs σ (mean²/var ~1e6 eats all 24
     # mantissa bits over a 6144-sample sum), which would blow `scale` up
@@ -188,11 +204,15 @@ def quantise_wire(signal: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     x *= scale[:, None]
     np.rint(x, out=x)
     np.clip(x, -127.0, 127.0, out=x)
-    out = x.astype(np.int8)
+    if out is None:
+        result = x.astype(np.int8)
+    else:
+        result = out[:n_rows]
+        np.copyto(result, x, casting="unsafe")
     # Re-zero the padding the affine shifted (short rows only).
     for i in np.nonzero(lens < t)[0]:
-        out[i, lens[i]:] = 0
-    return out
+        result[i, lens[i]:] = 0
+    return result
 
 
 # A built batch: (read_ids, start, start_len, end, end_len).  Rows beyond
@@ -201,8 +221,40 @@ BuiltBatch = Tuple[List[str], np.ndarray, np.ndarray,
                    Optional[np.ndarray], Optional[np.ndarray]]
 
 
+class BatchScratch:
+    """Persistent per-caller temporaries for batch assembly.
+
+    A reader worker builds thousands of batches over its lifetime; with a
+    scratch object the per-batch intermediates (raw trim matrix, int16
+    build target for the int8 wire, f32 quantise temporary) are allocated
+    ONCE instead of churning ~20 MB of allocations per batch — on the
+    2-vCPU bench host, where worker CPU is the throughput wall
+    (BENCH_STREAM_INT8_r04.jsonl), allocator traffic is throughput.
+    Buffers are np.empty; :func:`build_batch_arrays` zeroes exactly the
+    padding it needs, so reuse across batches is safe by construction.
+    """
+
+    def __init__(self, spec: BatchSpec) -> None:
+        b, buf = spec.batch_size, spec.buffer_size
+        self.spec = spec
+        int8 = spec.wire == "int8"
+        # int8 wire builds raw int16 first, quantises into the final buffer.
+        self.start16 = np.empty((b, buf), np.int16) if int8 else None
+        self.end16 = np.empty((b, buf), np.int16) if int8 and spec.dual else None
+        self.f32 = np.empty((b, buf), np.float32) if int8 else None
+        if spec.trim is not None:
+            self.raw = np.empty((b, spec.trim.raw_size), np.int16)
+            self.raw_len = np.empty((b,), np.int64)
+            self.tails = np.empty_like(self.raw) if spec.dual else None
+        else:
+            self.raw = self.raw_len = self.tails = None
+
+
 def build_batch_arrays(
-    reads: Sequence[Tuple[str, np.ndarray]], spec: BatchSpec
+    reads: Sequence[Tuple[str, np.ndarray]],
+    spec: BatchSpec,
+    out: Optional[tuple] = None,
+    scratch: Optional[BatchScratch] = None,
 ) -> BuiltBatch:
     """Pad reads into fixed-shape buffers.
 
@@ -210,6 +262,16 @@ def build_batch_arrays(
     end buffer:   last ``buffer_size`` samples **reversed**, so open-pore
     trimming runs identically for both ends (see
     ops.preprocess.extract_scan_region).
+
+    ``out``: optional (start, start_len, end, end_len) destination buffers
+    in the spec's WIRE dtype — e.g. the shared-memory slot views from
+    mp_reader._slot_views — written in place, so a worker assembles (and,
+    int8, quantises) the batch directly onto the transport with zero
+    copy-out.  Destination buffers may hold stale bytes from a recycled
+    slot; every padding byte is explicitly re-zeroed here.
+    ``scratch``: persistent intermediates (see :class:`BatchScratch`);
+    one is created per call when omitted.  Without ``out`` the returned
+    arrays are freshly allocated (never aliases of ``scratch``).
     """
     buffer = spec.buffer_size
     trim = spec.trim
@@ -218,35 +280,52 @@ def build_batch_arrays(
             f"pre-trimmed buffers must be scan_size ({trim.scan_size}), "
             f"spec has buffer_size {buffer}"
         )
-    ids: List[str] = []
-    # int16 end-to-end on the host: raw DAC values are int16 natively and the
-    # device casts to f32 in-graph — this halves host→device transfer bytes
-    # (measured ~60 MB/s on the tunnel; the batch is the dominant payload).
-    start = np.zeros((spec.batch_size, buffer), np.int16)
-    start_len = np.zeros((spec.batch_size,), np.int32)
-    end = np.zeros((spec.batch_size, buffer), np.int16) if spec.dual else None
-    end_len = np.zeros((spec.batch_size,), np.int32) if spec.dual else None
+    int8 = spec.wire == "int8"
+    n_reads = len(reads)
+    if scratch is None:
+        scratch = BatchScratch(spec)
+
+    # The int16 build target: the final buffer itself for the int16 wire,
+    # or scratch for the int8 wire (quantisation writes the final bytes).
+    if out is not None:
+        _o_start, start_len, _o_end, end_len = out
+        start = scratch.start16 if int8 else out[0]
+        end = (scratch.end16 if int8 else out[2]) if spec.dual else None
+    else:
+        # int16 end-to-end on the host: raw DAC values are int16 natively;
+        # the device casts to f32 in-graph — half the transfer bytes.
+        start = (scratch.start16 if int8
+                 else np.empty((spec.batch_size, buffer), np.int16))
+        start_len = np.empty((spec.batch_size,), np.int32)
+        end = None
+        end_len = None
+        if spec.dual:
+            end = (scratch.end16 if int8
+                   else np.empty((spec.batch_size, buffer), np.int16))
+            end_len = np.empty((spec.batch_size,), np.int32)
+
+    ids: List[str] = [read_id for read_id, _signal in reads]
 
     if trim is not None:
         # Vectorised path: pad raw heads (and reversed tails) into one
         # matrix, trim every row in one numpy pass, gather the scan
-        # regions with take_along_axis.  Equivalent to per-read
-        # pretrim_read (same trim_starts_batch math; pinned by
-        # tests/test_host_trim.py) but ~an order of magnitude less Python
-        # per batch — worker CPU is the wall on small hosts.
-        n_reads = len(reads)
-        raw = np.zeros((n_reads, trim.raw_size), np.int16)
-        raw_len = np.zeros((n_reads,), np.int64)
-        tails = np.zeros_like(raw) if spec.dual else None
-        for i, (read_id, signal) in enumerate(reads):
-            ids.append(read_id)
+        # regions row-wise.  Equivalent to per-read pretrim_read (same
+        # trim_starts_batch math; pinned by tests/test_host_trim.py) but
+        # ~an order of magnitude less Python per batch — worker CPU is
+        # the wall on small hosts.
+        raw = scratch.raw[:n_reads]
+        raw_len = scratch.raw_len[:n_reads]
+        tails = scratch.tails[:n_reads] if spec.dual else None
+        for i, (_read_id, signal) in enumerate(reads):
             k = min(signal.size, trim.raw_size)
             raw[i, :k] = signal[:k]
+            raw[i, k:] = 0
             raw_len[i] = k
             if spec.dual:
                 tails[i, :k] = signal[signal.size - k :][::-1]
+                tails[i, k:] = 0
 
-        def gather(mat: np.ndarray, out: np.ndarray, out_len: np.ndarray) -> None:
+        def gather(mat: np.ndarray, dst: np.ndarray, dst_len: np.ndarray) -> None:
             offs = trim_starts_batch(mat, raw_len, trim)
             # offs ≤ trim_scan by construction (the variance search never
             # sees past the trim region), so offs+scan_size ≤ raw_size and
@@ -254,33 +333,47 @@ def build_batch_arrays(
             # beats take_along_axis ~10× here: the (n, scan_size) index
             # matrix alone costs more to build than 512 memcpys.
             scan = trim.scan_size
-            for i in range(mat.shape[0]):
+            for i in range(n_reads):
                 o = offs[i]
-                out[i] = mat[i, o : o + scan]
-            out_len[:n_reads] = np.clip(raw_len - offs, 0, scan)
+                dst[i] = mat[i, o : o + scan]
+            dst[n_reads:] = 0
+            dst_len[:n_reads] = np.clip(raw_len - offs, 0, scan)
+            dst_len[n_reads:] = 0
 
-        gather(raw, start[:n_reads], start_len)
+        gather(raw, start, start_len)
         if spec.dual:
-            gather(tails, end[:n_reads], end_len)
-        return _finish_wire(spec, ids, start, start_len, end, end_len)
+            gather(tails, end, end_len)
+        return _finish_wire(spec, ids, start, start_len, end, end_len,
+                            out, scratch)
 
-    for i, (read_id, signal) in enumerate(reads):
-        ids.append(read_id)
+    for i, (_read_id, signal) in enumerate(reads):
         n = min(signal.size, buffer)
         start[i, :n] = signal[:n]
+        start[i, n:] = 0
         start_len[i] = n
         if spec.dual:
             tail = signal[-n:] if signal.size else signal
             end[i, :n] = tail[::-1]
+            end[i, n:] = 0
             end_len[i] = n
-    return _finish_wire(spec, ids, start, start_len, end, end_len)
+    start[n_reads:] = 0
+    start_len[n_reads:] = 0
+    if spec.dual:
+        end[n_reads:] = 0
+        end_len[n_reads:] = 0
+    return _finish_wire(spec, ids, start, start_len, end, end_len,
+                        out, scratch)
 
 
-def _finish_wire(spec, ids, start, start_len, end, end_len) -> BuiltBatch:
-    """Apply the spec's wire format to freshly built int16 buffers."""
+def _finish_wire(spec, ids, start, start_len, end, end_len,
+                 out, scratch) -> BuiltBatch:
+    """Apply the spec's wire format; route the result into ``out``."""
     if spec.wire != "int8":
+        # start/end ARE the destination buffers already (out or fresh).
         return ids, start, start_len, end, end_len
-    start = quantise_wire(start, start_len)
-    if end is not None:
-        end = quantise_wire(end, end_len)
-    return ids, start, start_len, end, end_len
+    dst_start = out[0] if out is not None else None
+    dst_end = out[2] if out is not None and spec.dual else None
+    q_start = quantise_wire(start, start_len, out=dst_start, f32=scratch.f32)
+    q_end = (quantise_wire(end, end_len, out=dst_end, f32=scratch.f32)
+             if spec.dual else None)
+    return ids, q_start, start_len, q_end, end_len

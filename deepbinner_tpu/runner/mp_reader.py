@@ -26,14 +26,17 @@ pass and timed passes share one pool, and a long-lived realtime loop can too.
 
 from __future__ import annotations
 
+import functools
 import multiprocessing as mp
 import queue as queue_mod
+import threading
 from typing import Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
 # hostbatch is numpy-only — keeps spawned children free of any JAX import.
 from deepbinner_tpu.runner.hostbatch import (
+    BatchScratch,
     BatchSpec,
     BuiltBatch,
     ExecutorStats,
@@ -215,24 +218,29 @@ def _pool_worker(
         return read_signal_file(path, head, tail)
 
     pending: List[Tuple[str, np.ndarray]] = []
+    # Persistent assembly temporaries: a worker builds thousands of
+    # batches; the trim matrix / int16 build target / f32 quantise temp
+    # are allocated once here instead of per batch (worker CPU is the
+    # streaming wall on small hosts — BENCH_STREAM_INT8_r04.jsonl).
+    scratch = BatchScratch(batch_spec) if batch_spec is not None else None
 
     def emit_batch(pass_id: int) -> None:
-        batch = build_batch_arrays(pending, batch_spec)
-        pending.clear()
         if shm_slots is None:
+            batch = build_batch_arrays(pending, batch_spec, scratch=scratch)
+            pending.clear()
             out_queue.put((pass_id,) + batch)
             return
-        # Shared-memory transport: write the arrays into a free slot; the
+        # Shared-memory transport: assemble (and, int8, quantise) the
+        # batch DIRECTLY into a free slot's views — zero build-then-copy
+        # (the round-4 path built arrays and memcpy'd them in; on a
+        # 2-vCPU host that extra full-batch copy was measurable).  The
         # queue carries only (slot, ids).  Blocks when all slots are in
         # flight — the same backpressure the bounded queue provides.
-        ids, start, start_len, end, end_len = batch
         slot = shm_free.get()
-        vs, vsl, ve, vel = _slot_views(shm_slots[slot], batch_spec)
-        vs[:] = start
-        vsl[:] = start_len
-        if batch_spec.dual:
-            ve[:] = end
-            vel[:] = end_len
+        views = _slot_views(shm_slots[slot], batch_spec)
+        ids, *_arrays = build_batch_arrays(pending, batch_spec, out=views,
+                                           scratch=scratch)
+        pending.clear()
         out_queue.put((pass_id, _SHM, slot, ids))
 
     while True:
@@ -325,6 +333,37 @@ class ReaderPool:
             worker.start()
         self._closed = False
         self._pass_id = 0
+        # Slots handed out by iter_batches(copy=False) and not yet released
+        # by the consumer.  Guarded by a lock: the classify feeder thread
+        # adds while the drain (main) thread releases.
+        self._held_lock = threading.Lock()
+        self._held: set = set()
+
+    def _release_slot(self, slot: int) -> None:
+        """Recycle a zero-copy slot once its upload has provably completed.
+
+        Idempotent (a slot released twice must not enter the free queue
+        twice — a double-free would let two workers write one slot).
+        """
+        with self._held_lock:
+            if slot not in self._held:
+                return
+            self._held.discard(slot)
+        self._ring.free.put(slot)
+
+    def _reclaim_held_slots(self) -> None:
+        """Recycle slots an abandoned pass yielded but never released.
+
+        Called at pass start and close: if a consumer tore down mid-pass
+        (exception between yield and release), its held slots would
+        otherwise starve every later pass.  By the time a NEW pass starts
+        the previous consumer is gone, so the views are dead."""
+        if self._ring is None:
+            return
+        with self._held_lock:
+            leftover, self._held = self._held, set()
+        for slot in leftover:
+            self._ring.free.put(slot)
 
     def _drain_pass(
         self,
@@ -334,6 +373,7 @@ class ReaderPool:
         """Feed one pass and yield raw data payloads in completion order."""
         if self._closed:
             raise RuntimeError("ReaderPool is closed")
+        self._reclaim_held_slots()
         self._pass_id += 1
         pass_id = self._pass_id
         for i, path in enumerate(fast5_paths):
@@ -396,12 +436,27 @@ class ReaderPool:
         self,
         fast5_paths: Sequence[str],
         stats: Optional[ExecutorStats] = None,
-    ) -> Iterator[BuiltBatch]:
+        copy: bool = True,
+    ) -> Iterator[tuple]:
         """One pass: yield worker-built fixed-shape batches.
 
         Full batches stream as they fill; each worker's leftover reads
         arrive as one padded partial batch at pass end (rows beyond
         len(ids) are padding, dropped downstream).
+
+        ``copy=False`` (the classify hot path): shared-memory batches are
+        yielded as ``(ids, start, start_len, end, end_len, release)``
+        where the arrays are VIEWS straight over the slot — the consumer
+        `device_put`s from shared memory with zero host copies — and
+        ``release()`` recycles the slot.  Call it only after the batch's
+        upload has provably completed; on the axon tunnel the one
+        reliable fence is fetching the batch's own result D2H
+        (``block_until_ready`` is a no-op there), which is exactly when
+        executor.classify_batches releases.  The consumer must keep
+        enough slots configured to cover its in-flight window
+        (in_flight + prefetch + headroom) or workers block on the free
+        queue until the pass stall-times-out.  Slots never released
+        (abandoned pass) are reclaimed at the next pass / close.
         """
         if self.batch_spec is None:
             raise RuntimeError("pool was not built with a batch_spec")
@@ -409,11 +464,17 @@ class ReaderPool:
             if self._ring is not None and payload and payload[0] == _SHM:
                 _tag, slot, ids = payload
                 views = self._ring.views(self._ring.slots[slot])
-                batch = (ids, views[0].copy(), views[1].copy(),
-                         views[2].copy() if views[2] is not None else None,
-                         views[3].copy() if views[3] is not None else None)
-                self._ring.free.put(slot)  # recycle immediately (copied out)
-                yield batch
+                if copy:
+                    batch = (ids, views[0].copy(), views[1].copy(),
+                             views[2].copy() if views[2] is not None else None,
+                             views[3].copy() if views[3] is not None else None)
+                    self._ring.free.put(slot)  # recycle now (copied out)
+                    yield batch
+                else:
+                    with self._held_lock:
+                        self._held.add(slot)
+                    yield (ids, views[0], views[1], views[2], views[3],
+                           functools.partial(self._release_slot, slot))
             else:
                 yield payload
 
@@ -421,6 +482,7 @@ class ReaderPool:
         if self._closed:
             return
         self._closed = True
+        self._reclaim_held_slots()
         for task_queue in self._tasks:
             task_queue.put(_STOP)
         for worker in self._workers:

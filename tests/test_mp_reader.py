@@ -132,6 +132,114 @@ def test_reader_pool_shm_transport_bit_identical(tmp_path, wire):
             np.testing.assert_array_equal(gerow, erow)
 
 
+@pytest.mark.parametrize("wire", ["int16", "int8"])
+@pytest.mark.parametrize("trimmed", [False, True])
+def test_build_batch_into_dirty_slot_views_bit_identical(wire, trimmed):
+    """In-place assembly into recycled (dirty) slot buffers == the
+    allocating path, bit for bit — every padding byte must be re-zeroed
+    explicitly since slot views carry the previous batch's bytes."""
+    from deepbinner_tpu.runner.hostbatch import (
+        BatchScratch,
+        BatchSpec,
+        TrimSpec,
+        build_batch_arrays,
+    )
+
+    trim = TrimSpec(trim_scan=64, trim_window=16, trim_stride=8,
+                    trim_threshold=0.8, window=64,
+                    scan_size=192) if trimmed else None
+    spec = BatchSpec(batch_size=4, buffer_size=192, dual=True, trim=trim,
+                     wire=wire)
+    rng = np.random.default_rng(11)
+    # 3 reads (partial batch → a pad row), one shorter than the buffer.
+    reads = [
+        ("a", rng.integers(300, 700, 1000).astype(np.int16)),
+        ("b", rng.integers(300, 700, 120).astype(np.int16)),
+        ("c", rng.integers(300, 700, 5000).astype(np.int16)),
+    ]
+    want = build_batch_arrays(reads, spec)
+
+    dt = np.int8 if wire == "int8" else np.int16
+    out = (np.full((4, 192), 0x55, dt), np.full((4,), 12345, np.int32),
+           np.full((4, 192), 0x55, dt), np.full((4,), 12345, np.int32))
+    scratch = BatchScratch(spec)
+    # Two rounds through the same scratch + out buffers: reuse must not
+    # leak bytes between batches.
+    for _ in range(2):
+        got = build_batch_arrays(reads, spec, out=out, scratch=scratch)
+        assert got[0] == want[0]
+        for g, w in zip(got[1:], want[1:]):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+        assert np.shares_memory(np.asarray(got[1]), out[0])  # wrote in place
+
+
+def test_quantise_wire_out_and_scratch_bit_identical():
+    from deepbinner_tpu.runner.hostbatch import quantise_wire
+
+    rng = np.random.default_rng(7)
+    sig = rng.integers(-500, 500, (5, 96)).astype(np.int16)
+    lens = np.asarray([96, 40, 0, 96, 7], np.int32)
+    for i, n in enumerate(lens):
+        sig[i, n:] = 0  # the documented zero-padding contract
+    want = quantise_wire(sig, lens)
+    out = np.full((8, 96), 0x55, np.int8)  # oversized + dirty
+    f32 = np.full((8, 96), np.nan, np.float32)
+    got = quantise_wire(sig, lens, out=out, f32=f32)
+    np.testing.assert_array_equal(got, want)
+    np.testing.assert_array_equal(out[:5], want)
+
+
+def test_reader_pool_zero_copy_release_cycle(tmp_path):
+    """copy=False yields slot VIEWS + release; with fewer slots than
+    batches the pass only progresses because releases recycle slots, and
+    an abandoned (never-released) pass is reclaimed at the next pass."""
+    from deepbinner_tpu.runner.hostbatch import BatchSpec
+    from deepbinner_tpu.runner.mp_reader import ReaderPool
+
+    simulate.make_dataset(tmp_path, reads_per_barcode=1, none_reads=3,
+                          genome_length=300, seed=21, write_fastq=False)
+    files = fast5_io.find_all_fast5s(tmp_path)
+    spec = BatchSpec(batch_size=2, buffer_size=256, dual=False, wire="int16")
+
+    def collect_copy(pool):
+        out = {}
+        for ids, start, start_len, _e, _el in pool.iter_batches(files):
+            for i, read_id in enumerate(ids):
+                out[read_id] = (start[i].copy(), int(start_len[i]))
+        return out
+
+    with ReaderPool(num_workers=2, batch_spec=spec, shm_slots=8) as pool:
+        want = collect_copy(pool)
+
+    # 2 slots, ~8 batches: progress requires the release cycle to work.
+    with ReaderPool(num_workers=2, batch_spec=spec, shm_slots=2,
+                    stall_timeout=30.0) as pool:
+        got = {}
+        for batch in pool.iter_batches(files, copy=False):
+            assert len(batch) == 6
+            ids, start, start_len, _e, _el, release = batch
+            for i, read_id in enumerate(ids):
+                got[read_id] = (start[i].copy(), int(start_len[i]))
+            release()
+            release()  # idempotent: a double release must not double-free
+        assert set(got) == set(want)
+        for read_id, (row, n) in want.items():
+            np.testing.assert_array_equal(got[read_id][0], row)
+            assert got[read_id][1] == n
+
+        # Abandon a pass holding both slots un-released...
+        gen = pool.iter_batches(files, copy=False)
+        next(gen)
+        next(gen)
+        gen.close()
+        # ...the next pass reclaims them and completes.
+        n3 = 0
+        for batch in pool.iter_batches(files, copy=False):
+            n3 += len(batch[0])
+            batch[5]()
+        assert n3 == len(want)
+
+
 def test_mp_reader_decodes_pod5(tmp_path):
     """Worker processes route .pod5 through the pure-Python parser even when
     the native (libhdf5-only) reader is enabled."""
