@@ -95,27 +95,30 @@ def main() -> None:
              ) if cap else None)
 
     # Streaming configs: (workers, in_flight, prefetch, dispatch_threads,
-    # shm_slots) — shm_slots > 0 swaps the pickled queue for the
-    # shared-memory ring (mp_reader._ShmRing).
+    # shm_slots, zero_copy) — shm_slots > 0 swaps the pickled queue for
+    # the shared-memory ring; zero_copy uses iter_batches(copy=False)
+    # (workers assemble into the slot, consumer device_puts from it,
+    # release after the batch's result fetch — the round-5 default path).
+    # Zero-copy needs shm_slots ≥ in_flight + prefetch + headroom.
     candidates = [
-        (2, 6, 3, 3, 8),   # current default (shm ring landed in r4)
-        (3, 6, 3, 3, 8),
-        (2, 8, 4, 3, 8),
-        (3, 8, 4, 3, 8),
-        (4, 8, 4, 3, 8),
-        (2, 6, 3, 2, 8),
-        (2, 10, 5, 3, 8),
-        (2, 6, 3, 3, 12),
-        (2, 6, 3, 3, 0),   # pickle-queue reference point
+        (2, 8, 4, 3, 16, False),  # r4 behaviour (copy-out) reference
+        (2, 8, 4, 3, 16, True),   # r5 default
+        (2, 10, 5, 3, 18, True),
+        (2, 12, 6, 3, 20, True),
+        (3, 8, 4, 3, 16, True),
+        (1, 8, 4, 3, 16, True),   # frees a core for dispatch on 2 vCPUs
+        (2, 8, 4, 2, 16, True),
+        (2, 8, 4, 3, 0, False),   # pickle-queue reference point
     ]
-    for workers, in_flight, prefetch, threads, shm_slots in candidates:
+    for workers, in_flight, prefetch, threads, shm_slots, zero_copy in candidates:
         with ReaderPool(num_workers=workers, use_native=True,
                         batch_spec=spec, shm_slots=shm_slots) as pool:
             # one untimed settle pass per pool (page cache is already warm
             # after the first; keeps comparisons honest)
             warm_stats = ExecutorStats()
             for _ in classify_batches(
-                program, pool.iter_batches(files, warm_stats),
+                program,
+                pool.iter_batches(files, warm_stats, copy=not zero_copy),
                 stats=warm_stats, in_flight=in_flight, prefetch=prefetch,
                 dispatch_threads=threads,
             ):
@@ -127,7 +130,9 @@ def main() -> None:
                 t0 = time.monotonic()
                 n = 0
                 for _ in classify_batches(
-                    program, pool.iter_batches(files, stats), stats=stats,
+                    program,
+                    pool.iter_batches(files, stats, copy=not zero_copy),
+                    stats=stats,
                     in_flight=in_flight, prefetch=prefetch,
                     dispatch_threads=threads,
                 ):
@@ -137,7 +142,7 @@ def main() -> None:
                 mbps.append(round(stats.batches * batch_bytes / elapsed / 1e6, 1))
         emit("streaming", workers=workers, in_flight=in_flight,
              prefetch=prefetch, dispatch_threads=threads,
-             shm_slots=shm_slots,
+             shm_slots=shm_slots, zero_copy=zero_copy,
              per_pass_reads_per_s=per_pass, per_pass_h2d_mbps=mbps,
              link_utilization=round(max(mbps) / cap, 3) if cap else None)
 
