@@ -60,6 +60,30 @@ def _pool3_same(x: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def _segment_spec(config: NetworkConfig, segment: str):
+    """(early, inc_lo, inc_hi, head) for a named trunk segment.
+
+    The VMEM row budget of one pallas_call is set by its LONGEST layer,
+    so named segments let callers split the trunk where it helps:
+      - "all":   stem2 → head_conv → GAP (the round-3 megakernel);
+      - "early": stem2 + blocks (ends at the last block pool);
+      - "late":  inception stack → head_conv → GAP;
+      - "inc0":  inception 0 only (round-5: spilling the first concat to
+        HBM halves the late stage's VMEM footprint — the round-4
+        tile_late ≥ 32 candidates OOM'd scoped VMEM by 0.19–2.8 MB,
+        BENCH_PALLAS_r04.jsonl);
+      - "late1": inceptions 1.. → head_conv → GAP.
+    """
+    n_inc = len(config.inception_features)
+    return {
+        "all": (True, 0, n_inc, True),
+        "early": (True, 0, 0, False),
+        "late": (False, 0, n_inc, True),
+        "inc0": (False, 0, 1, False),
+        "late1": (False, 1, n_inc, True),
+    }[segment]
+
+
 def _mega_kernel(*refs, config: NetworkConfig, tile_n: int, mxu_dtype,
                  segment: str = "all"):
     """The conv trunk (or a segment of it) on ONE VMEM tile.
@@ -68,13 +92,6 @@ def _mega_kernel(*refs, config: NetworkConfig, tile_n: int, mxu_dtype,
     :func:`_mega_unit_scopes(config, segment)` order, then the output.
     Every activation inside the segment lives its whole life in VMEM —
     zero inter-layer HBM traffic (round-2 VERDICT item 2).
-
-    Segments (round-4 tile sweep — the VMEM row budget is set by the
-    LONGEST layer in the kernel, so splitting lets the short deep layers
-    run at a much larger batch tile than L=1024 stem2 allows):
-      - "all":   stem2 → head_conv → GAP (the round-3 megakernel);
-      - "early": stem2 + blocks (ends at the last block pool);
-      - "late":  inception stack → head_conv → GAP.
     """
     from deepbinner_tpu.ops.conv_pallas import _conv_tile
 
@@ -99,23 +116,24 @@ def _mega_kernel(*refs, config: NetworkConfig, tile_n: int, mxu_dtype,
             padded[:, 2 : length + 2, :],
         )
 
+    early, inc_lo, inc_hi, head = _segment_spec(config, segment)
     x = x_ref[:]
     index = 0
-    if segment in ("all", "early"):
+    if early:
         x = unit(x, index, pool=True)           # stem2
         index += 1
         for _feats in config.block_features:
             x = unit(x, index)
             x = unit(x, index + 1, pool=True)
             index += 2
-    if segment in ("all", "late"):
-        for i, _feats in enumerate(config.inception_features):
-            b1 = unit(x, index, pool=True)
-            b3 = unit(x, index + 1, pool=True)
-            bd = unit(x, index + 2, dilation=2 ** (i + 1), pool=True)
-            bp = unit(pool3_same(x), index + 3, pool=True)
-            index += 4
-            x = jnp.concatenate([b1, b3, bd, bp], axis=-1)
+    for i in range(inc_lo, inc_hi):
+        b1 = unit(x, index, pool=True)
+        b3 = unit(x, index + 1, pool=True)
+        bd = unit(x, index + 2, dilation=2 ** (i + 1), pool=True)
+        bp = unit(pool3_same(x), index + 3, pool=True)
+        index += 4
+        x = jnp.concatenate([b1, b3, bd, bp], axis=-1)
+    if head:
         x = unit(x, index)                      # head_conv
         out_ref[:] = jnp.mean(x, axis=1)        # global average pool
     else:
@@ -125,17 +143,18 @@ def _mega_kernel(*refs, config: NetworkConfig, tile_n: int, mxu_dtype,
 def _mega_unit_scopes(config: NetworkConfig, segment: str = "all"):
     """Unit scopes in megakernel execution order (stem1 excluded — it runs
     in XLA: its C_in=1 'matmul' is MXU-useless and lane-pads 128×)."""
+    early, inc_lo, inc_hi, head = _segment_spec(config, segment)
     scopes = []
-    if segment in ("all", "early"):
+    if early:
         scopes.append(("stem2", 1))
         for i in range(len(config.block_features)):
             scopes += [(f"block{i}_conv1", 1), (f"block{i}_conv2", 1)]
-    if segment in ("all", "late"):
-        for i in range(len(config.inception_features)):
-            scope = f"inception{i}"
-            scopes += [(f"{scope}/branch1x1", 1), (f"{scope}/branch3", 1),
-                       (f"{scope}/branch_dilated", 2 ** (i + 1)),
-                       (f"{scope}/branch_pool", 1)]
+    for i in range(inc_lo, inc_hi):
+        scope = f"inception{i}"
+        scopes += [(f"{scope}/branch1x1", 1), (f"{scope}/branch3", 1),
+                   (f"{scope}/branch_dilated", 2 ** (i + 1)),
+                   (f"{scope}/branch_pool", 1)]
+    if head:
         scopes.append(("head_conv", 1))
     return scopes
 
@@ -170,21 +189,27 @@ def _run_segment(config, params, stats, x, segment: str, tile_n: int,
     if n_pad != n:
         x = jnp.pad(x, ((0, n_pad - n), (0, 0), (0, 0)))
 
-    if segment == "early":
-        # Ends after the last block pool: L halves once per pool.
-        pools = 1 + len(config.block_features)
-        out_len = length // (2 ** pools)
-        c_out = (config.block_features[-1] if config.block_features
-                 else config.stem_features)
-        out_spec = pl.BlockSpec((tile_n, out_len, c_out),
-                                lambda i: (i, 0, 0),
-                                memory_space=pltpu.VMEM)
-        out_shape = jax.ShapeDtypeStruct((n_pad, out_len, c_out), jnp.float32)
-    else:  # "all" / "late" end at the GAP
+    early, inc_lo, inc_hi, head = _segment_spec(config, segment)
+    if head:  # "all" / "late" / "late1" end at the GAP
         feats = config.head_features
         out_spec = pl.BlockSpec((tile_n, feats), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((n_pad, feats), jnp.float32)
+    else:
+        # Headless segments end on a 3D activation: L halves once per
+        # fused pool (stem2 + one per block, + one per inception run).
+        pools = (1 + len(config.block_features) if early else 0) \
+            + (inc_hi - inc_lo)
+        out_len = length // (2 ** pools)
+        if inc_hi > inc_lo:
+            c_out = config.inception_features[inc_hi - 1]
+        else:
+            c_out = (config.block_features[-1] if config.block_features
+                     else config.stem_features)
+        out_spec = pl.BlockSpec((tile_n, out_len, c_out),
+                                lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((n_pad, out_len, c_out), jnp.float32)
 
     kernel_fn = functools.partial(_mega_kernel, config=config, tile_n=tile_n,
                                   mxu_dtype=mxu_dtype, segment=segment)
@@ -264,6 +289,122 @@ def apply_inference_pallas_split(
                           interpret, mxu_dtype)
     dense = params["classifier"]
     logits = pooled @ dense["kernel"] + dense["bias"]
+    return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+
+def apply_inference_pallas_split3(
+    config: NetworkConfig,
+    variables: dict,
+    windows: jnp.ndarray,
+    tile_early: int = 4,
+    tile_inc0: int = 32,
+    tile_late1: int = 64,
+    interpret=None,
+    mxu_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Three-kernel trunk: {stem2+blocks} / {inception 0} / {inc 1+head+GAP}.
+
+    Round-4's two-stage split could not raise tile_late past ~24: the late
+    kernel holds BOTH inception stages' branches at once and OOM'd scoped
+    VMEM by 0.19–2.8 MB at tile 32 (BENCH_PALLAS_r04.jsonl).  Spilling the
+    first inception's concat to HBM (an (N, L/16, C_inc) tensor — small)
+    halves each late kernel's VMEM footprint, so the deep layers can run
+    the 32–64-row tiles where the unit sweep measured Pallas ahead.
+    Measured A/B: scripts/pallas_sweep.py → BENCH_PALLAS_r05.jsonl.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    x = windows.astype(jnp.float32)
+    if x.ndim == 2:
+        x = x[:, :, None]
+
+    x = _unit(params, stats, "stem1", x, interpret=interpret)  # XLA fallback
+    x = _run_segment(config, params, stats, x, "early", tile_early,
+                     interpret, mxu_dtype)
+    x = _run_segment(config, params, stats, x, "inc0", tile_inc0,
+                     interpret, mxu_dtype)
+    pooled = _run_segment(config, params, stats, x, "late1", tile_late1,
+                          interpret, mxu_dtype)
+    dense = params["classifier"]
+    logits = pooled @ dense["kernel"] + dense["bias"]
+    return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+
+# Units where the round-4 per-geometry sweep measured the fused Pallas
+# kernel AHEAD of XLA's conv emitter on the flagship shapes
+# (BENCH_PALLAS_r04.jsonl): block0_conv2 1.19×, block1_conv2 1.44×,
+# head_conv 1.62×.  Everywhere else XLA wins — the hybrid trunk uses
+# Pallas exactly where it measured faster.  Values: fused_conv1d_bn_relu
+# tile kwargs from the winning sweep rows.
+HYBRID_PALLAS_UNITS = {
+    "block0_conv2": dict(tile_n=16, max_rows=8192),
+    "block1_conv2": dict(tile_n=32, max_rows=8192),
+    "head_conv": dict(tile_n=16, max_rows=4096),
+}
+
+
+def apply_inference_pallas_hybrid(
+    config: NetworkConfig,
+    variables: dict,
+    windows: jnp.ndarray,
+    interpret=None,
+    mxu_dtype=jnp.float32,
+    pallas_units=None,
+) -> jnp.ndarray:
+    """Heterogeneous trunk: Pallas only where the unit sweep measured a win.
+
+    Identical layer math to :func:`apply_inference_pallas`, but each
+    ConvBNRelu unit picks its measured-faster backend: the fused Pallas
+    kernel for the scopes in ``pallas_units`` (default
+    :data:`HYBRID_PALLAS_UNITS`), XLA's conv emitter elsewhere.  This is
+    the round-4 verdict's missing candidate: the all-Pallas trunks lose
+    to XLA 2.2× overall, yet Pallas wins 1.19–1.62× at three specific
+    geometries — the hybrid keeps exactly those.
+    """
+    from deepbinner_tpu.ops.conv_pallas import conv1d_bn_relu_reference
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if pallas_units is None:
+        pallas_units = HYBRID_PALLAS_UNITS
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    x = windows.astype(jnp.float32)
+    if x.ndim == 2:
+        x = x[:, :, None]
+
+    def unit(scope, x, dilation=1, pool=False):
+        kernel, scale, bias = _unit_weights(params, stats, scope)
+        tile = pallas_units.get(scope.split("/")[-1],
+                                pallas_units.get(scope))
+        if tile is None:
+            return conv1d_bn_relu_reference(x, kernel, scale, bias,
+                                            dilation=dilation, relu=True,
+                                            pool=pool)
+        return fused_conv1d_bn_relu(x, kernel, scale, bias,
+                                    dilation=dilation, pool=pool,
+                                    interpret=interpret,
+                                    mxu_dtype=mxu_dtype, **tile)
+
+    x = unit("stem1", x)
+    x = unit("stem2", x, pool=True)
+    for i in range(len(config.block_features)):
+        x = unit(f"block{i}_conv1", x)
+        x = unit(f"block{i}_conv2", x, pool=True)
+    for i in range(len(config.inception_features)):
+        scope = f"inception{i}"
+        b1 = unit(f"{scope}/branch1x1", x, pool=True)
+        b3 = unit(f"{scope}/branch3", x, pool=True)
+        bd = unit(f"{scope}/branch_dilated", x, dilation=2 ** (i + 1),
+                  pool=True)
+        bp = unit(f"{scope}/branch_pool", _pool3_same(x), pool=True)
+        x = jnp.concatenate([b1, b3, bd, bp], axis=-1)
+    x = unit("head_conv", x)
+    x = jnp.mean(x, axis=1)
+    dense = params["classifier"]
+    logits = x @ dense["kernel"] + dense["bias"]
     return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
 

@@ -53,6 +53,12 @@ class ClassifyConfig:
     # With use_pallas: single whole-trunk megakernel (activations never
     # leave VMEM between layers) vs one kernel per ConvBNRelu unit.
     pallas_fused: bool = True
+    # With use_pallas: explicit trunk variant, overriding pallas_fused —
+    # "fused" (megakernel), "unit" (one kernel per ConvBNRelu),
+    # "split3" (three-kernel trunk, each stage at its own batch tile),
+    # "hybrid" (Pallas only at the geometries where the round-4 unit
+    # sweep measured it ahead of XLA; XLA elsewhere).
+    pallas_path: Optional[str] = None
 
 
 def _one_end_probs(
@@ -67,13 +73,15 @@ def _one_end_probs(
     batch, num_windows, width = windows.shape
     flat = windows.reshape(batch * num_windows, width, 1)
     if cfg.use_pallas:
-        from deepbinner_tpu.models.pallas_apply import (
-            apply_inference_pallas,
-            apply_inference_pallas_fused,
-        )
+        from deepbinner_tpu.models import pallas_apply
 
-        apply = (apply_inference_pallas_fused if cfg.pallas_fused
-                 else apply_inference_pallas)
+        path = cfg.pallas_path or ("fused" if cfg.pallas_fused else "unit")
+        apply = {
+            "fused": pallas_apply.apply_inference_pallas_fused,
+            "unit": pallas_apply.apply_inference_pallas,
+            "split3": pallas_apply.apply_inference_pallas_split3,
+            "hybrid": pallas_apply.apply_inference_pallas_hybrid,
+        }[path]
         probs = apply(model.config, variables, flat)
     else:
         logits = model.apply(variables, flat, train=False)

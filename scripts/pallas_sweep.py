@@ -130,7 +130,8 @@ def main() -> int:
     from deepbinner_tpu.models.pallas_apply import (
         apply_inference_pallas,
         apply_inference_pallas_fused,
-        apply_inference_pallas_split,
+        apply_inference_pallas_hybrid,
+        apply_inference_pallas_split3,
     )
     from deepbinner_tpu.ops.conv_pallas import (
         conv1d_bn_relu_reference,
@@ -157,14 +158,18 @@ def main() -> int:
     paths = {"xla": jax.jit(xla_apply)}
     paths["pallas_unit"] = jax.jit(
         functools.partial(apply_inference_pallas, net_cfg, interpret=False))
-    for tile in (8, 16):
-        paths[f"pallas_fused_t{tile}"] = jax.jit(functools.partial(
-            apply_inference_pallas_fused, net_cfg, tile_n=tile,
-            interpret=False))
-    for te, tl in ((4, 32), (8, 32), (4, 64), (8, 64), (4, 128)):
-        paths[f"pallas_split_e{te}_l{tl}"] = jax.jit(functools.partial(
-            apply_inference_pallas_split, net_cfg, tile_early=te,
-            tile_late=tl, interpret=False))
+    paths["pallas_fused_t8"] = jax.jit(functools.partial(
+        apply_inference_pallas_fused, net_cfg, tile_n=8, interpret=False))
+    # Round-5 candidates (round-4 VERDICT item 2): the heterogeneous trunk
+    # (Pallas only at its measured-win geometries) and the three-kernel
+    # split (first inception concat spilled to HBM so the deep stages can
+    # run the 32-64-row tiles the two-stage split OOM'd at).
+    paths["pallas_hybrid"] = jax.jit(functools.partial(
+        apply_inference_pallas_hybrid, net_cfg, interpret=False))
+    for ti, tl in ((16, 32), (32, 32), (32, 64), (16, 64)):
+        paths[f"pallas_split3_e4_i{ti}_l{tl}"] = jax.jit(functools.partial(
+            apply_inference_pallas_split3, net_cfg, tile_early=4,
+            tile_inc0=ti, tile_late1=tl, interpret=False))
 
     ref_probs = None
     results = {}
@@ -217,6 +222,59 @@ def main() -> int:
              pallas_fused_compute_speedup=round(
                  results["xla"] / best_pallas, 3),
              failures=failures)
+
+    # ---- decision parity on SIMULATED READS (the --pallas gate) ---------
+    # N(0,1) windows sit near decision boundaries, where a 3e-3 prob
+    # wiggle flips argmax (round-4: calls_equal false on random inputs).
+    # The user-facing contract is calls on READS: run the FULL classify
+    # step (trim → normalise → window → CNN → combine → call) on
+    # simulated barcoded reads for every selectable --pallas path and pin
+    # call equality vs the XLA path (round-4 VERDICT weak #3).
+    from deepbinner_tpu.ops.calling import CallingConfig
+    from deepbinner_tpu.ops.preprocess import PreprocessConfig
+    from deepbinner_tpu.runner.executor import build_batch
+    from deepbinner_tpu.runner.pipeline import ClassifyConfig, classify_step
+    from deepbinner_tpu.utils import simulate
+
+    py_rng = np.random.default_rng(42)
+    reads = []
+    n_reads = 256
+    for i in range(n_reads):
+        read = simulate.simulate_read("EXP-NBD103", i % 13, py_rng,
+                                      genome_length=2000)
+        reads.append((read.read_id, read.signal))
+    pre = PreprocessConfig()  # full in-graph path (device trim, int16)
+    _ids, sig, lens, _e, _el = build_batch(reads, pre, n_reads, False)
+    sig = jax.device_put(jnp.asarray(sig))
+    lens = jax.device_put(jnp.asarray(lens))
+    ref_calls = None
+    for pname, ppath in [("xla", None), ("fused", "fused"), ("unit", "unit"),
+                         ("hybrid", "hybrid"), ("split3", "split3")]:
+        ccfg = ClassifyConfig(pre, CallingConfig(),
+                              use_pallas=ppath is not None,
+                              pallas_path=ppath)
+        try:
+            step = jax.jit(functools.partial(classify_step, model, ccfg,
+                                             end_model=model))
+            calls = None
+            for attempt in range(3):
+                try:
+                    calls = np.asarray(step(variables, None, sig, lens).calls)
+                    break
+                except Exception as error:  # noqa: BLE001
+                    if "remote_compile" not in repr(error) or attempt == 2:
+                        raise
+                    time.sleep(10)
+            if ref_calls is None:
+                ref_calls = calls
+            agree = int((calls == ref_calls).sum())
+            if agree != n_reads:
+                failures += 1
+            emit(kind="read_parity", path=pname, reads=n_reads, agree=agree,
+                 calls_equal=bool(agree == n_reads),
+                 distinct_classes=int(len(np.unique(calls))))
+        except Exception as error:  # noqa: BLE001 — OOM candidates expected
+            emit(kind="read_parity", path=pname, error=_err_text(error, 300))
 
     # ---- per-layer geometry tile sweep ----------------------------------
     if args.skip_unit_sweep:

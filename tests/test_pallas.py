@@ -131,6 +131,51 @@ def test_full_network_split_trunk_parity(rng):
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
 
 
+def test_full_network_split3_trunk_parity(rng):
+    """Three-kernel trunk ({stem2+blocks} / {inc0} / {inc1+head+GAP}) ==
+    flax, including a batch that tiles no stage evenly.  The first
+    inception concat spills to HBM so the deep stages can run tiles the
+    two-stage split OOM'd at on the chip (BENCH_PALLAS_r04.jsonl)."""
+    from deepbinner_tpu.models.pallas_apply import apply_inference_pallas_split3
+
+    net = NetworkConfig(input_length=512, stem_features=16,
+                        block_features=(16, 32), inception_features=(32, 32),
+                        head_features=32)
+    model, variables = init_params(jax.random.PRNGKey(6), net)
+    x = jnp.asarray(rng.normal(size=(11, net.input_length)), jnp.float32)
+    want = np.asarray(
+        jax.nn.softmax(model.apply(variables, x[:, :, None], train=False), -1)
+    )
+    got = np.asarray(
+        apply_inference_pallas_split3(net, variables, x, interpret=True,
+                                      tile_early=4, tile_inc0=8, tile_late1=8,
+                                      mxu_dtype=jnp.float32)
+    )
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_full_network_hybrid_parity(rng):
+    """Heterogeneous trunk (Pallas only at its measured-win geometries,
+    XLA elsewhere) == flax on the flagship-shaped config."""
+    from deepbinner_tpu.models.pallas_apply import (
+        apply_inference_pallas_hybrid,
+    )
+
+    net = NetworkConfig(input_length=512, stem_features=16,
+                        block_features=(16, 32), inception_features=(32, 32),
+                        head_features=32)
+    model, variables = init_params(jax.random.PRNGKey(7), net)
+    x = jnp.asarray(rng.normal(size=(9, net.input_length)), jnp.float32)
+    want = np.asarray(
+        jax.nn.softmax(model.apply(variables, x[:, :, None], train=False), -1)
+    )
+    got = np.asarray(
+        apply_inference_pallas_hybrid(net, variables, x, interpret=True,
+                                      mxu_dtype=jnp.float32)
+    )
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
 def test_bf16_mxu_mode_calls_identical(rng):
     """Optional bf16-multiplicand mode (f32 accumulate): probabilities
     drift ≤4e-3 from the f32 flax oracle and argmax calls never move — the
