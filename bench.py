@@ -65,6 +65,34 @@ def ensure_dataset(n_reads: int, seed: int = 1234, genome_length: int = 3000) ->
     return os.path.join(path, "fast5s")
 
 
+def ensure_dataset_pod5(n_reads: int, reads_per_file: int = 256) -> str:
+    """Convert the bench fast5 dataset to pod5 containers (cached).
+
+    Real pod5 runs pack hundreds of reads per file; 256/file here.  The
+    same reads/truth as the fast5 dataset, so rates are comparable and
+    calls checkable.  Returns the pod5 directory.
+    """
+    from deepbinner_tpu.utils.fast5 import find_all_fast5s, iterate_reads_in_fast5
+    from deepbinner_tpu.utils.pod5 import write_pod5
+
+    fast5_dir = ensure_dataset(n_reads)
+    out_dir = fast5_dir.rstrip("/") + "_pod5"
+    marker = os.path.join(out_dir, ".complete")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    reads = []
+    for path in find_all_fast5s(os.path.dirname(fast5_dir)):
+        reads.extend(iterate_reads_in_fast5(path))
+    reads.sort(key=lambda item: item[0])  # deterministic packing
+    for k in range(0, len(reads), reads_per_file):
+        write_pod5(os.path.join(out_dir, f"batch_{k // reads_per_file:04d}.pod5"),
+                   reads[k : k + reads_per_file])
+    with open(marker, "w") as handle:
+        handle.write(f"{len(reads)}\n")
+    return out_dir
+
+
 def load_flagship(path: str = MODEL_FILE):
     import jax
 
@@ -108,8 +136,8 @@ def _build_program(use_pallas: bool, dual: bool, host_trim: bool = True,
 def measure_tpu(fast5_dir: str, batch_size: int, reader_workers: int,
                 use_pallas: bool = False, native_reader: bool = True,
                 passes: int = 3, dual: bool = False,
-                host_trim: bool = True, shm_slots: int = 16,
-                wire: str = "int16") -> dict:
+                host_trim: bool = True, shm_slots: int = 20,
+                wire: str = "int16", files=None) -> dict:
     """Steady-state end-to-end throughput: warm pass + `passes` timed passes.
 
     File decode runs in worker *processes* (runner.mp_reader.ReaderPool):
@@ -131,7 +159,8 @@ def measure_tpu(fast5_dir: str, batch_size: int, reader_workers: int,
     from deepbinner_tpu.runner.mp_reader import ReaderPool
     from deepbinner_tpu.utils.fast5 import find_all_fast5s
 
-    files = find_all_fast5s(os.path.dirname(fast5_dir))
+    if files is None:
+        files = find_all_fast5s(os.path.dirname(fast5_dir))
 
     if native_reader:
         from deepbinner_tpu.native import fast5_reader
@@ -402,6 +431,12 @@ def main() -> None:
                              "link bytes — 1.8x the upload ceiling and "
                              "100%% call agreement vs int16 on 4096 reads, "
                              "BENCH_WIRE_r04.jsonl; int16 = lossless raw)")
+    parser.add_argument("--format", default="fast5",
+                        choices=["fast5", "pod5"],
+                        help="signal container format for the dataset "
+                             "(pod5: same reads repacked 256/container, "
+                             "decoded chunk-lazily by the workers' "
+                             "pure-Python pod5+vbz parser)")
     parser.add_argument("--no-shm", action="store_true",
                         help="use the pickled-queue batch transport instead "
                              "of the shared-memory ring (A/B the transport)")
@@ -448,6 +483,14 @@ def main() -> None:
     print(f"[bench] start {time.strftime('%H:%M:%S')}", file=sys.stderr, flush=True)
     baseline = get_baseline(args)
     fast5_dir = ensure_dataset(args.reads)
+    files = None
+    if args.format == "pod5":
+        from deepbinner_tpu.utils.fast5 import find_signal_files
+
+        pod5_dir = ensure_dataset_pod5(args.reads)
+        files = find_signal_files(pod5_dir)
+        print(f"[bench] pod5 dataset: {len(files)} container(s)",
+              file=sys.stderr, flush=True)
     print("[bench] dataset+baseline ready; claiming device …",
           file=sys.stderr, flush=True)
     result = measure_tpu(fast5_dir, args.batch_size, args.reader_processes,
@@ -455,8 +498,8 @@ def main() -> None:
                          native_reader=not args.no_native_reader,
                          passes=args.passes, dual=args.dual,
                          host_trim=not args.device_trim,
-                         shm_slots=0 if args.no_shm else 16,
-                         wire=wire)
+                         shm_slots=0 if args.no_shm else 20,
+                         wire=wire, files=files)
 
     value = result["reads_per_s"]
     vs = value / baseline["reads_per_s"] if baseline.get("reads_per_s") else None
@@ -475,6 +518,7 @@ def main() -> None:
         # rates recorded so one slow pass is visible, not definitional.
         "per_pass": result.get("per_pass_reads_per_s"),
         "wire": wire,
+        "format": args.format,
         "link_mbps": result.get("h2d_mbps"),
         "link_capacity_mbps": result.get("link_capacity_mbps"),
         "link_utilization": result.get("link_utilization"),
@@ -504,7 +548,7 @@ def main() -> None:
                            native_reader=not args.no_native_reader,
                            passes=1, dual=True,
                            host_trim=not args.device_trim,
-                           shm_slots=0 if args.no_shm else 16,
+                           shm_slots=0 if args.no_shm else 20,
                            wire=wire)
         dvs = dual["reads_per_s"] / baseline["reads_per_s"]
         print(json.dumps({

@@ -106,10 +106,10 @@ def _add_classify_common(parser: argparse.ArgumentParser) -> None:
                            "train-time noise augmentation; 100%% call "
                            "agreement on 4096 reads, BENCH_WIRE_r04.jsonl). "
                            "int16: lossless raw DAC samples")
-    perf.add_argument("--shm_slots", type=int, default=16,
+    perf.add_argument("--shm_slots", type=int, default=20,
                       help="shared-memory batch-transport slots between "
                            "reader workers and the TPU client (0 = pickled "
-                           "queue; default 16 — the zero-copy path holds a "
+                           "queue; default 20 — the zero-copy path holds a "
                            "slot per in-flight batch, so fewer than the "
                            "pipeline window is clamped up; ~2x streaming "
                            "throughput on the 2-vCPU bench host)")

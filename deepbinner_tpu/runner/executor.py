@@ -163,12 +163,14 @@ def build_batch(
 
 
 # Streaming pipeline window (measured optima on the tunnel host — see the
-# classify_batches docstring).  Exported so slot-count sizing elsewhere
-# (StreamRunner, bench) can cover the whole in-flight window:
-# a zero-copy shm pass holds up to IN_FLIGHT pending + PREFETCH queued
-# slots at once, so the ring needs at least MIN_SHM_SLOTS.
-IN_FLIGHT = 8
-PREFETCH = 4
+# classify_batches docstring; r5 re-tune: 12/6 measured above 8/4 and
+# 16/8 in BOTH same-process sweeps, /tmp→BENCH_STREAM_r05 artifacts).
+# Exported so slot-count sizing elsewhere (StreamRunner, bench) can cover
+# the whole in-flight window: a zero-copy shm pass holds up to IN_FLIGHT
+# pending + PREFETCH queued slots at once, so the ring needs at least
+# MIN_SHM_SLOTS.
+IN_FLIGHT = 12
+PREFETCH = 6
 MIN_SHM_SLOTS = IN_FLIGHT + PREFETCH + 2
 
 

@@ -258,29 +258,35 @@ def _pool_worker(
                     emit_batch(task[2])
                 out_queue.put((_CTL, "flush", task[2]))
             continue
-        pass_id, path = task
-        error = ""
-        try:
-            reads = read_file(path)
-        except Exception as exc:  # noqa: BLE001 — skip-and-count semantics
-            reads = []
-            error = repr(exc)
-        if not reads:
-            out_queue.put((_CTL, "failed", pass_id, path, error))
-            continue
-        if batch_spec is not None:
-            for item in reads:
-                pending.append(item)
-                if len(pending) == batch_spec.batch_size:
-                    emit_batch(pass_id)
-        else:
-            # Stream mode carries the source path so consumers that act on
-            # FILES (realtime's move-into-bin) can map reads back without
-            # touching the decoder themselves.
-            for read_id, signal in reads:
-                out_queue.put((pass_id, read_id,
-                               _trim_signal(signal, trim_head, trim_tail),
-                               path))
+        # Tasks carry a CHUNK of paths, not one: single-read fast5s mean
+        # one task per ~150 µs of decode, and an mp.Queue get is a lock +
+        # pipe wakeup — per-file tasks left the workers ~40% idle on the
+        # bench host (stream_profile r5: cpu_utilization 0.58 at the
+        # supply-bound throughput).  Chunking amortises the IPC.
+        pass_id, paths = task
+        for path in paths:
+            error = ""
+            try:
+                reads = read_file(path)
+            except Exception as exc:  # noqa: BLE001 — skip-and-count
+                reads = []
+                error = repr(exc)
+            if not reads:
+                out_queue.put((_CTL, "failed", pass_id, path, error))
+                continue
+            if batch_spec is not None:
+                for item in reads:
+                    pending.append(item)
+                    if len(pending) == batch_spec.batch_size:
+                        emit_batch(pass_id)
+            else:
+                # Stream mode carries the source path so consumers that
+                # act on FILES (realtime's move-into-bin) can map reads
+                # back without touching the decoder themselves.
+                for read_id, signal in reads:
+                    out_queue.put((pass_id, read_id,
+                                   _trim_signal(signal, trim_head, trim_tail),
+                                   path))
 
 
 class ReaderPool:
@@ -376,8 +382,14 @@ class ReaderPool:
         self._reclaim_held_slots()
         self._pass_id += 1
         pass_id = self._pass_id
-        for i, path in enumerate(fast5_paths):
-            self._tasks[i % self.num_workers].put((pass_id, path))
+        # Chunked round-robin distribution: small chunks keep the load
+        # balanced across workers; ≥8 chunks per worker on big passes,
+        # per-file granularity on tiny (realtime-sized) ones.
+        chunk = max(1, min(32, len(fast5_paths) // (8 * self.num_workers)))
+        for k, start in enumerate(range(0, len(fast5_paths), chunk)):
+            self._tasks[k % self.num_workers].put(
+                (pass_id, list(fast5_paths[start : start + chunk]))
+            )
         for task_queue in self._tasks:
             task_queue.put((_CTL, "flush", pass_id))
         acks = 0
