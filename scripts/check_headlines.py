@@ -50,6 +50,13 @@ HEADLINES = [
      "artifacts": ["BENCH_PALLAS_r04.jsonl"]},
     {"claim": "31.55", "docs": ["BASELINE.md"],
      "artifacts": ["BENCH_PALLAS_r04.jsonl"]},
+    # Round-5 Pallas candidates (hybrid / split3 / same-process XLA).
+    {"claim": "36.6", "docs": ["BASELINE.md", "docs/architecture.md"],
+     "artifacts": ["BENCH_PALLAS_r05.jsonl"]},
+    {"claim": "31.63", "docs": ["BASELINE.md", "docs/architecture.md"],
+     "artifacts": ["BENCH_PALLAS_r05.jsonl"]},
+    {"claim": "14.11", "docs": ["BASELINE.md", "docs/architecture.md"],
+     "artifacts": ["BENCH_PALLAS_r05.jsonl"]},
     # shm-vs-pickle transport A/B per-pass peaks.
     {"claim": "2094.9", "docs": ["docs/performance.md"],
      "artifacts": ["BENCH_STREAM_r04.jsonl"]},

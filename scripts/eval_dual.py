@@ -28,6 +28,10 @@ def main():
     parser.add_argument("--seed", type=int, default=4242)
     parser.add_argument("--platform", default="default", choices=["default", "cpu"])
     parser.add_argument("--wire", default="int16", choices=["int16", "int8"])
+    parser.add_argument("--noise", type=float, default=1.0,
+                        help="eval-time squiggle-noise scale (robustness "
+                             "grid rows for the dual modes — round-4 "
+                             "VERDICT weak #4)")
     args = parser.parse_args()
     if args.platform == "cpu":
         import jax
@@ -59,11 +63,16 @@ def main():
     rng = np.random.default_rng(args.seed)
     reads, truth = [], {}
     n = args.reads_per_barcode
-    for barcode in list(range(1, 13)) * n + [0] * n:
-        read = simulate.simulate_read("EXP-NBD103", barcode, rng,
-                                      genome_length=2000)
-        reads.append((read.read_id, read.signal))
-        truth[read.read_id] = barcode
+    base_noise = simulate.SIGNAL_NOISE
+    simulate.SIGNAL_NOISE = base_noise * args.noise
+    try:
+        for barcode in list(range(1, 13)) * n + [0] * n:
+            read = simulate.simulate_read("EXP-NBD103", barcode, rng,
+                                          genome_length=2000)
+            reads.append((read.read_id, read.signal))
+            truth[read.read_id] = barcode
+    finally:
+        simulate.SIGNAL_NOISE = base_noise
 
     per_end = {"start_only": 0, "end_only": 0, "both": 0}
     calls = {}
@@ -83,6 +92,8 @@ def main():
     wrong = sum(1 for rid, t in truth.items() if calls[rid] not in (t, 0))
     print(json.dumps({
         "mode": "require_both" if args.require_both else "either",
+        "wire": args.wire,
+        "noise_x": args.noise,
         "reads": total,
         "exact_acc": round(exact / total, 4),
         "barcode_recall": round(recall / len(barcoded), 4),

@@ -35,6 +35,12 @@ def main() -> None:
                         default=[1.0, 1.5, 2.0, 3.0, 4.0])
     parser.add_argument("--platform", default="default",
                         choices=["default", "cpu"])
+    parser.add_argument("--wire", default="int16", choices=["int16", "int8"],
+                        help="int8: evaluate the PRODUCTION wire (host-side "
+                             "trim + z-score + sigma/16 quantisation) so the "
+                             "robustness table covers what classify ships by "
+                             "default, not only the lossless path (round-4 "
+                             "VERDICT weak #4)")
     args = parser.parse_args()
     if args.platform == "cpu":
         import jax
@@ -53,8 +59,11 @@ def main() -> None:
         f"{args.kit}_read_starts.dbt",
     )
     model, variables, net_cfg, _ = load_model(model_path)
+    # int8 implies host-side trim (quantisation runs after the open-pore
+    # trim, in batch assembly) — exactly the classify CLI's default path.
     pre = PreprocessConfig(window=net_cfg.input_length,
-                           stride=net_cfg.input_length // 2)
+                           stride=net_cfg.input_length // 2,
+                           host_trim=args.wire == "int8", wire=args.wire)
     program = ClassifyProgram(
         model, ClassifyConfig(pre, CallingConfig(), False), variables
     )
@@ -83,6 +92,7 @@ def main() -> None:
             wrong = sum(1 for r, t in truth.items() if calls[r] not in (t, 0))
             print(json.dumps({
                 "kit": args.kit,
+                "wire": args.wire,
                 "noise_x": level,
                 "reads": total,
                 "exact_acc": round(exact / total, 4),
