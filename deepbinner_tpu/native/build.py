@@ -14,22 +14,30 @@ import sys
 
 def build(verbose: bool = True) -> str:
     here = os.path.dirname(os.path.abspath(__file__))
-    src = os.path.join(here, "src", "fast5_reader.cc")
     lib_dir = os.path.join(here, "lib")
     os.makedirs(lib_dir, exist_ok=True)
-    out = os.path.join(lib_dir, "libdeepbinner_fast5.so")
-    cmd = [
-        "g++", "-O2", "-shared", "-fPIC", "-std=c++17",
-        "-Wall", "-Wextra", "-Werror",
-        "-o", out, src,
+
+    def compile_one(src_name: str, out_name: str, extra: list) -> str:
+        out = os.path.join(lib_dir, out_name)
+        cmd = [
+            "g++", "-O2", "-shared", "-fPIC", "-std=c++17",
+            "-Wall", "-Wextra", "-Werror",
+            "-o", out, os.path.join(here, "src", src_name),
+            *extra,
+            # Fail the build if any declared symbol doesn't resolve.
+            "-Wl,--no-undefined",
+        ]
+        if verbose:
+            print(" ".join(cmd), file=sys.stderr)
+        subprocess.run(cmd, check=True)
+        return out
+
+    out = compile_one(
+        "fast5_reader.cc", "libdeepbinner_fast5.so",
         # No dev package in this image: link the runtime soname directly.
-        "-l:libhdf5_serial.so.103",
-        # Fail the build if any declared HDF5 symbol doesn't resolve.
-        "-Wl,--no-undefined",
-    ]
-    if verbose:
-        print(" ".join(cmd), file=sys.stderr)
-    subprocess.run(cmd, check=True)
+        ["-l:libhdf5_serial.so.103"],
+    )
+    compile_one("vbz_decode.cc", "libdeepbinner_vbz.so", [])
     return out
 
 
@@ -37,7 +45,8 @@ if __name__ == "__main__":
     path = build()
     print(f"built {path}", file=sys.stderr)
     # Smoke-test the bindings.
-    from deepbinner_tpu.native import fast5_reader
+    from deepbinner_tpu.native import fast5_reader, vbz
 
     assert fast5_reader.available(), "library built but bindings failed to load"
+    assert vbz.available(), "vbz library built but bindings failed to load"
     print("bindings load ok", file=sys.stderr)

@@ -112,13 +112,29 @@ def vbz_compress(signal: np.ndarray) -> bytes:
     )
 
 
+# One decompressor context per process (creating one per chunk showed up
+# in the per-read decode profile); ZstdDecompressor is not thread-safe
+# for concurrent decompress calls, but reader workers are processes.
+_ZSTD_CTX = None
+
+
 def vbz_decompress(payload: bytes, sample_count: int) -> np.ndarray:
     import zstandard
 
+    global _ZSTD_CTX
+    if _ZSTD_CTX is None:
+        _ZSTD_CTX = zstandard.ZstdDecompressor()
     max_size = (sample_count + 7) // 8 + 2 * sample_count
-    raw = zstandard.ZstdDecompressor().decompress(
-        payload, max_output_size=max(max_size, 1)
-    )
+    raw = _ZSTD_CTX.decompress(payload, max_output_size=max(max_size, 1))
+    # Fast path: one fused C pass (svb16 + zigzag + prefix sum) — the
+    # numpy chain below costs ~8 separate array passes and made pod5
+    # decode 4x the fast5 reader's per-read cost (see
+    # native/src/vbz_decode.cc).  numpy remains the always-available
+    # oracle; parity is pinned in tests/test_native.py.
+    from deepbinner_tpu.native import vbz as native_vbz
+
+    if native_vbz.available():
+        return native_vbz.unpack(raw, sample_count)
     delta = _zigzag_decode(svb16_decode(raw, sample_count))
     # int64 cumsum then int16 cast == wrapping int16 prefix sum
     return np.cumsum(delta.astype(np.int64)).astype(np.int16)

@@ -148,3 +148,46 @@ def test_sliced_batches_bit_identical(native, tmp_path):
                 assert b is None
                 continue
             np.testing.assert_array_equal(a, b, err_msg=f"dual={dual}")
+
+
+def test_native_vbz_unpack_parity(native):
+    """The fused C svb16+zigzag+prefix-sum pass is bit-identical to the
+    numpy oracle across value ranges, sizes, and the narrow-final-byte
+    tail case (the branchless main loop hands the last elements to a
+    bounds-checked tail)."""
+    import zstandard
+
+    from deepbinner_tpu.native import vbz as native_vbz
+    from deepbinner_tpu.utils import pod5
+
+    if not native_vbz.available():
+        native_vbz._load_failed = False
+        native_vbz._lib = None
+    if not native_vbz.available():
+        pytest.skip("native vbz library not built")
+
+    rng = np.random.default_rng(12)
+    cases = [
+        np.zeros(0, np.int16),
+        np.asarray([5], np.int16),
+        np.asarray([-1, 1, -32768, 32767, 0], np.int16),  # wrap + wide mix
+        rng.integers(300, 700, 4097).astype(np.int16),     # mostly narrow
+        rng.integers(-32768, 32767, 2048).astype(np.int16),  # mostly wide
+    ]
+    for sig in cases:
+        comp = pod5.vbz_compress(sig)
+        n = sig.size
+        raw = zstandard.ZstdDecompressor().decompress(
+            comp, max_output_size=max((n + 7) // 8 + 2 * n, 1))
+        ref = np.cumsum(
+            pod5._zigzag_decode(pod5.svb16_decode(raw, n)).astype(np.int64)
+        ).astype(np.int16)
+        got = native_vbz.unpack(raw, n)
+        np.testing.assert_array_equal(got, ref)
+        np.testing.assert_array_equal(got, sig)  # full round trip
+    # Truncated stream must raise, not over-read.
+    sig = rng.integers(-32768, 32767, 512).astype(np.int16)
+    raw = zstandard.ZstdDecompressor().decompress(
+        pod5.vbz_compress(sig), max_output_size=(512 + 7) // 8 + 1024)
+    with pytest.raises(ValueError):
+        native_vbz.unpack(raw[:-3], 512)
