@@ -57,6 +57,21 @@ HEADLINES = [
      "artifacts": ["BENCH_PALLAS_r05.jsonl"]},
     {"claim": "14.11", "docs": ["BASELINE.md", "docs/architecture.md"],
      "artifacts": ["BENCH_PALLAS_r05.jsonl"]},
+    # int8 robustness grid (production wire vs lossless, r5).  Docs quote
+    # percentages; the artifact records fractions — artifact_claim maps.
+    {"claim": "93.08", "artifact_claim": "0.9308", "docs": ["BASELINE.md"],
+     "artifacts": ["EVAL_ROBUSTNESS_r05.jsonl"]},
+    {"claim": "60.77", "artifact_claim": "0.6077", "docs": ["BASELINE.md"],
+     "artifacts": ["EVAL_ROBUSTNESS_r05.jsonl"]},
+    {"claim": "99.23", "artifact_claim": "0.9923", "docs": ["BASELINE.md"],
+     "artifacts": ["EVAL_ROBUSTNESS_r05.jsonl"]},
+    {"claim": "98.46", "artifact_claim": "0.9846", "docs": ["BASELINE.md"],
+     "artifacts": ["EVAL_ROBUSTNESS_r05.jsonl"]},
+    # pod5-vs-fast5 same-process A/B (r5, native vbz unpack).
+    {"claim": "4867.8", "docs": ["docs/performance.md"],
+     "artifacts": ["BENCH_POD5_r05.jsonl"]},
+    {"claim": "3925.1", "docs": ["docs/performance.md"],
+     "artifacts": ["BENCH_POD5_r05.jsonl"]},
     # shm-vs-pickle transport A/B per-pass peaks.
     {"claim": "2094.9", "docs": ["docs/performance.md"],
      "artifacts": ["BENCH_STREAM_r04.jsonl"]},
@@ -85,10 +100,11 @@ def check() -> list:
         for doc in entry["docs"]:
             if claim not in _read(doc):
                 problems.append(f"{doc}: expected headline '{claim}' missing")
-        if not any(claim in _read(a) for a in entry["artifacts"]):
+        aclaim = entry.get("artifact_claim", claim)
+        if not any(aclaim in _read(a) for a in entry["artifacts"]):
             problems.append(
-                f"headline '{claim}' not found in any committed artifact "
-                f"({', '.join(entry['artifacts'])})"
+                f"headline '{claim}' (artifact form '{aclaim}') not found in "
+                f"any committed artifact ({', '.join(entry['artifacts'])})"
             )
     for doc, first, second in ORDERING:
         text = _read(doc)
