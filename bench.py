@@ -184,7 +184,7 @@ def measure_tpu(fast5_dir: str, batch_size: int, reader_workers: int,
     # H2D payload per batch (signal at the wire itemsize + int32 lengths,
     # ×2 when dual) — the denominator for achieved-MB/s so a slow pass is
     # attributable to the tunnel vs the pipeline (round-3 VERDICT weak #4).
-    per_end = spec.batch_size * (spec.buffer_size * spec.wire_itemsize + 4)
+    per_end = spec.batch_size * (spec.wire_row_bytes + 4)
     batch_bytes = per_end * (2 if dual else 1)
 
     print(f"[bench] program built ({setup_s:.1f}s); compiling + first-D2H "
@@ -425,7 +425,8 @@ def main() -> None:
                         help="run the CNN through the fused Pallas kernels")
     parser.add_argument("--no-native-reader", action="store_true",
                         help="force h5py decode inside the reader workers")
-    parser.add_argument("--wire", default=None, choices=["int16", "int8"],
+    parser.add_argument("--wire", default=None,
+                        choices=["int16", "int8", "int4"],
                         help="signal wire format (default int8: host "
                              "z-score + sigma/16 quantisation, half the "
                              "link bytes — 1.8x the upload ceiling and "
@@ -460,8 +461,8 @@ def main() -> None:
     # EXPLICIT --wire int8 is an error, mirroring the classify CLI
     # (round-4 ADVICE, bench.py:427).
     if args.device_trim:
-        if args.wire == "int8":
-            parser.error("--wire int8 requires host-side trim "
+        if args.wire in ("int8", "int4"):
+            parser.error(f"--wire {args.wire} requires host-side trim "
                          "(drop --device-trim)")
         wire = "int16"
     else:

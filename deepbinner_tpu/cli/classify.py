@@ -84,8 +84,8 @@ def build_program(args) -> Tuple[object, object]:
     wire = getattr(args, "wire", None)
     if wire is None:
         wire = "int16" if not pre.host_trim else "int8"
-    elif wire == "int8" and not pre.host_trim:
-        quit_with_error("--wire int8 requires host-side trim "
+    elif wire in ("int8", "int4") and not pre.host_trim:
+        quit_with_error(f"--wire {wire} requires host-side trim "
                         "(drop --device_trim)")
     import dataclasses as _dc
 

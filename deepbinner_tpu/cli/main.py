@@ -97,7 +97,8 @@ def _add_classify_common(parser: argparse.ArgumentParser) -> None:
                       help="fast5 reader worker processes (-1 = auto: 2 on "
                            "TPU, in-process on CPU; 0 = in-process "
                            "threads; >0 scales past the single-libhdf5 lock)")
-    perf.add_argument("--wire", default=None, choices=["int16", "int8"],
+    perf.add_argument("--wire", default=None,
+                      choices=["int16", "int8", "int4"],
                       help="host->device signal format. int8 (default): "
                            "workers z-score each read end and quantise at "
                            "sigma/16 — half the link bytes; the in-graph "
@@ -105,7 +106,10 @@ def _add_classify_common(parser: argparse.ArgumentParser) -> None:
                            "~0.018 sigma rounding noise (below the models' "
                            "train-time noise augmentation; 100%% call "
                            "agreement on 4096 reads, BENCH_WIRE_r04.jsonl). "
-                           "int16: lossless raw DAC samples")
+                           "int16: lossless raw DAC samples. int4: sigma/3.5 "
+                           "nibbles packed 2/byte — a quarter of the int16 "
+                           "bytes for link-starved hosts (opt-in; accuracy "
+                           "grid in EVAL_ROBUSTNESS artifacts)")
     perf.add_argument("--shm_slots", type=int, default=20,
                       help="shared-memory batch-transport slots between "
                            "reader workers and the TPU client (0 = pickled "

@@ -145,9 +145,9 @@ def batch_spec_for(
             window=cfg.window,
             scan_size=cfg.scan_size,
         )
-    if cfg.wire == "int8" and trim is None:
-        raise ValueError("wire='int8' requires host_trim (quantisation must "
-                         "run after the open-pore trim, in the workers)")
+    if cfg.wire in ("int8", "int4") and trim is None:
+        raise ValueError(f"wire='{cfg.wire}' requires host_trim (quantisation "
+                         "must run after the open-pore trim, in the workers)")
     return BatchSpec(batch_size=batch_size, buffer_size=cfg.buffer_size,
                      dual=dual, trim=trim, wire=cfg.wire)
 

@@ -140,24 +140,85 @@ class BatchSpec:
     # scan region (buffer_size == scan_size); the device skips its in-graph
     # trim (PreprocessConfig.host_trim=True builds the matching program).
     trim: Optional[TrimSpec] = None
-    # Signal wire format: 'int16' raw DAC, or 'int8' host-side z-score +
+    # Signal wire format: 'int16' raw DAC; 'int8' host-side z-score +
     # 1/16 σ quantisation (see ops.preprocess.PreprocessConfig.wire — the
     # in-graph per-window z-score erases the affine scale, so only ±1/32 σ
-    # rounding noise crosses into the CNN).  int8 halves link bytes.
+    # rounding noise crosses into the CNN), halving link bytes; 'int4'
+    # z-score + 2/7 σ quantisation packed two samples per byte, a quarter
+    # of the int16 bytes (the device unpacks in-graph —
+    # ops.preprocess.unpack_int4).
     wire: str = "int16"
 
     @property
     def wire_np(self):
-        return np.int8 if self.wire == "int8" else np.int16
+        return np.int8 if self.wire in ("int8", "int4") else np.int16
 
     @property
     def wire_itemsize(self) -> int:
-        return 1 if self.wire == "int8" else 2
+        return 1 if self.wire in ("int8", "int4") else 2
+
+    @property
+    def wire_cols(self) -> int:
+        """Columns of the on-wire signal array (int4 packs 2 per byte)."""
+        if self.wire == "int4":
+            if self.buffer_size % 2:
+                raise ValueError("int4 wire needs an even buffer_size")
+            return self.buffer_size // 2
+        return self.buffer_size
+
+    @property
+    def wire_row_bytes(self) -> int:
+        """Bytes of one read end's signal on the wire."""
+        return self.wire_cols * self.wire_itemsize
 
 
 # int8 wire: quantisation step is 1/WIRE_SCALE of the read-end's std —
 # range ±127/16 ≈ ±7.9 σ, step noise std (1/16)/√12 ≈ 0.018 σ.
 WIRE_SCALE = 16.0
+# int4 wire: step 1/WIRE4_SCALE σ, range ±7/3.5 = ±2.0 σ, step noise std
+# (1/3.5)/√12 ≈ 0.082 σ — still below the squiggle's own ~0.3 σ noise
+# floor; accuracy across the eval-noise grid is pinned in
+# EVAL_ROBUSTNESS artifacts and tests/test_wire_int4.py.
+WIRE4_SCALE = 3.5
+
+
+def _zscore_rounded(
+    signal: np.ndarray,
+    lengths: np.ndarray,
+    scale: float,
+    clip: float,
+    f32: Optional[np.ndarray],
+):
+    """Shared quantiser core: per-row z-score × scale, rounded + clipped.
+
+    Returns (x, lens): x is float32 holding exact small integers in
+    [-clip, clip] with padding re-zeroed; lens the clipped valid counts.
+    """
+    n_rows, t = signal.shape
+    lens = np.clip(lengths[:n_rows], 0, t).astype(np.int64)
+    n = np.maximum(lens, 1).astype(np.float64)
+    if f32 is None:
+        x = signal.astype(np.float32)
+    else:
+        x = f32[:n_rows, :t]
+        np.copyto(x, signal, casting="unsafe")
+    # Row stats accumulate in float64: s2/n - mean² cancels catastrophically
+    # in f32 when the DC offset dwarfs σ (mean²/var ~1e6 eats all 24
+    # mantissa bits over a 6144-sample sum), which would blow `scale` up
+    # and clip the whole read.  f64 einsum is ~1 ms at this size.
+    s1 = np.einsum("ij->i", x, dtype=np.float64)
+    s2 = np.einsum("ij,ij->i", x, x, dtype=np.float64)
+    mean = s1 / n
+    var = np.maximum(s2 / n - mean * mean, 0.0)
+    row_scale = (scale / (np.sqrt(var) + 1e-8)).astype(np.float32)
+    x -= mean.astype(np.float32)[:, None]
+    x *= row_scale[:, None]
+    np.rint(x, out=x)
+    np.clip(x, -clip, clip, out=x)
+    # Re-zero the padding the affine shifted (short rows only).
+    for i in np.nonzero(lens < t)[0]:
+        x[i, lens[i]:] = 0.0
+    return x, lens
 
 
 def quantise_wire(
@@ -183,36 +244,42 @@ def quantise_wire(
     the allocator on hosts where worker CPU is the throughput wall.
     Returns the (n, T) result (== ``out[:n]`` when ``out`` is given).
     """
-    n_rows, t = signal.shape
-    lens = np.clip(lengths[:n_rows], 0, t).astype(np.int64)
-    n = np.maximum(lens, 1).astype(np.float64)
-    if f32 is None:
-        x = signal.astype(np.float32)
-    else:
-        x = f32[:n_rows, :t]
-        np.copyto(x, signal, casting="unsafe")
-    # Row stats accumulate in float64: s2/n - mean² cancels catastrophically
-    # in f32 when the DC offset dwarfs σ (mean²/var ~1e6 eats all 24
-    # mantissa bits over a 6144-sample sum), which would blow `scale` up
-    # and clip the whole read to ±127.  f64 einsum is ~1 ms at this size.
-    s1 = np.einsum("ij->i", x, dtype=np.float64)
-    s2 = np.einsum("ij,ij->i", x, x, dtype=np.float64)
-    mean = s1 / n
-    var = np.maximum(s2 / n - mean * mean, 0.0)
-    scale = (WIRE_SCALE / (np.sqrt(var) + 1e-8)).astype(np.float32)
-    x -= mean.astype(np.float32)[:, None]
-    x *= scale[:, None]
-    np.rint(x, out=x)
-    np.clip(x, -127.0, 127.0, out=x)
+    n_rows = signal.shape[0]
+    x, _lens = _zscore_rounded(signal, lengths, WIRE_SCALE, 127.0, f32)
     if out is None:
-        result = x.astype(np.int8)
-    else:
-        result = out[:n_rows]
-        np.copyto(result, x, casting="unsafe")
-    # Re-zero the padding the affine shifted (short rows only).
-    for i in np.nonzero(lens < t)[0]:
-        result[i, lens[i]:] = 0
+        return x.astype(np.int8)
+    result = out[:n_rows]
+    np.copyto(result, x, casting="unsafe")
     return result
+
+
+def quantise_wire4(
+    signal: np.ndarray,
+    lengths: np.ndarray,
+    out: Optional[np.ndarray] = None,
+    f32: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Z-score, quantise at σ/WIRE4_SCALE into [-7, 7], pack 2 per byte.
+
+    Sample ``2i`` lives in the LOW nibble of byte ``i``, sample ``2i+1``
+    in the HIGH nibble (two's-complement nibbles; the device inverse is
+    ops.preprocess.unpack_int4).  ``signal`` must have an even width;
+    padding bytes stay exactly 0.  Returns the (n, T//2) int8 packed
+    array (== ``out[:n]`` when given).
+    """
+    n_rows, t = signal.shape
+    if t % 2:
+        raise ValueError("int4 wire needs an even signal width")
+    x, _lens = _zscore_rounded(signal, lengths, WIRE4_SCALE, 7.0, f32)
+    q = x.astype(np.int8)
+    low = q[:, 0::2]
+    high = q[:, 1::2]
+    packed = out[:n_rows] if out is not None else np.empty((n_rows, t // 2),
+                                                           np.int8)
+    # (low & 0xF) keeps the two's-complement nibble; high<<4 stays in
+    # int8 range for values in [-8, 7].
+    np.bitwise_or(low & 0xF, high << 4, out=packed)
+    return packed
 
 
 # A built batch: (read_ids, start, start_len, end, end_len).  Rows beyond
@@ -237,11 +304,11 @@ class BatchScratch:
     def __init__(self, spec: BatchSpec) -> None:
         b, buf = spec.batch_size, spec.buffer_size
         self.spec = spec
-        int8 = spec.wire == "int8"
-        # int8 wire builds raw int16 first, quantises into the final buffer.
-        self.start16 = np.empty((b, buf), np.int16) if int8 else None
-        self.end16 = np.empty((b, buf), np.int16) if int8 and spec.dual else None
-        self.f32 = np.empty((b, buf), np.float32) if int8 else None
+        lossy = spec.wire in ("int8", "int4")
+        # Lossy wires build raw int16 first, quantise into the final buffer.
+        self.start16 = np.empty((b, buf), np.int16) if lossy else None
+        self.end16 = np.empty((b, buf), np.int16) if lossy and spec.dual else None
+        self.f32 = np.empty((b, buf), np.float32) if lossy else None
         if spec.trim is not None:
             self.raw = np.empty((b, spec.trim.raw_size), np.int16)
             self.raw_len = np.empty((b,), np.int64)
@@ -280,27 +347,27 @@ def build_batch_arrays(
             f"pre-trimmed buffers must be scan_size ({trim.scan_size}), "
             f"spec has buffer_size {buffer}"
         )
-    int8 = spec.wire == "int8"
+    lossy = spec.wire in ("int8", "int4")
     n_reads = len(reads)
     if scratch is None:
         scratch = BatchScratch(spec)
 
     # The int16 build target: the final buffer itself for the int16 wire,
-    # or scratch for the int8 wire (quantisation writes the final bytes).
+    # or scratch for the lossy wires (quantisation writes the final bytes).
     if out is not None:
         _o_start, start_len, _o_end, end_len = out
-        start = scratch.start16 if int8 else out[0]
-        end = (scratch.end16 if int8 else out[2]) if spec.dual else None
+        start = scratch.start16 if lossy else out[0]
+        end = (scratch.end16 if lossy else out[2]) if spec.dual else None
     else:
         # int16 end-to-end on the host: raw DAC values are int16 natively;
         # the device casts to f32 in-graph — half the transfer bytes.
-        start = (scratch.start16 if int8
+        start = (scratch.start16 if lossy
                  else np.empty((spec.batch_size, buffer), np.int16))
         start_len = np.empty((spec.batch_size,), np.int32)
         end = None
         end_len = None
         if spec.dual:
-            end = (scratch.end16 if int8
+            end = (scratch.end16 if lossy
                    else np.empty((spec.batch_size, buffer), np.int16))
             end_len = np.empty((spec.batch_size,), np.int32)
 
@@ -368,12 +435,13 @@ def build_batch_arrays(
 def _finish_wire(spec, ids, start, start_len, end, end_len,
                  out, scratch) -> BuiltBatch:
     """Apply the spec's wire format; route the result into ``out``."""
-    if spec.wire != "int8":
+    if spec.wire == "int16":
         # start/end ARE the destination buffers already (out or fresh).
         return ids, start, start_len, end, end_len
+    quantise = quantise_wire4 if spec.wire == "int4" else quantise_wire
     dst_start = out[0] if out is not None else None
     dst_end = out[2] if out is not None and spec.dual else None
-    q_start = quantise_wire(start, start_len, out=dst_start, f32=scratch.f32)
-    q_end = (quantise_wire(end, end_len, out=dst_end, f32=scratch.f32)
+    q_start = quantise(start, start_len, out=dst_start, f32=scratch.f32)
+    q_end = (quantise(end, end_len, out=dst_end, f32=scratch.f32)
              if spec.dual else None)
     return ids, q_start, start_len, q_end, end_len

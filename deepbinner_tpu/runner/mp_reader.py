@@ -69,8 +69,8 @@ class _ShmRing:
         from multiprocessing import shared_memory
 
         self.spec = spec
-        b, buf = spec.batch_size, spec.buffer_size
-        self.sig_bytes = b * buf * spec.wire_itemsize
+        b = spec.batch_size
+        self.sig_bytes = b * spec.wire_row_bytes
         self.len_bytes = b * 4            # int32
         per_end = self.sig_bytes + self.len_bytes
         self.slot_bytes = per_end * (2 if spec.dual else 1)
@@ -103,18 +103,18 @@ def _slot_views(buffer, spec: "BatchSpec") -> tuple:
     (`_ShmRing.views`, over `SharedMemory.buf`) and the workers
     (`emit_batch`, over the raw mmap).  A layout described twice would
     corrupt batches silently on the first divergence."""
-    b, buf_size = spec.batch_size, spec.buffer_size
+    b, cols = spec.batch_size, spec.wire_cols
     sig_np = spec.wire_np
-    sig_bytes = b * buf_size * spec.wire_itemsize
+    sig_bytes = b * spec.wire_row_bytes
     len_bytes = b * 4
     o = 0
-    start = np.ndarray((b, buf_size), sig_np, buffer=buffer, offset=o)
+    start = np.ndarray((b, cols), sig_np, buffer=buffer, offset=o)
     o += sig_bytes
     start_len = np.ndarray((b,), np.int32, buffer=buffer, offset=o)
     o += len_bytes
     if not spec.dual:
         return start, start_len, None, None
-    end = np.ndarray((b, buf_size), sig_np, buffer=buffer, offset=o)
+    end = np.ndarray((b, cols), sig_np, buffer=buffer, offset=o)
     o += sig_bytes
     end_len = np.ndarray((b,), np.int32, buffer=buffer, offset=o)
     return start, start_len, end, end_len

@@ -273,9 +273,10 @@ class ClassifyProgram:
         """
         import numpy as np
 
-        buf = self.cfg.preprocess.buffer_size
-        wire = jnp.int8 if self.cfg.preprocess.wire == "int8" else jnp.int16
-        sig = jnp.zeros((batch_size, buf), wire)
+        pre = self.cfg.preprocess
+        buf = pre.buffer_size
+        wire = jnp.int8 if pre.wire in ("int8", "int4") else jnp.int16
+        sig = jnp.zeros((batch_size, pre.wire_cols), wire)
         lengths = jnp.full((batch_size,), buf, jnp.int32)
         if self.cfg.dual_model:
             out = self.call_packed(sig, lengths, sig, lengths)

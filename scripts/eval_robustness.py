@@ -35,7 +35,8 @@ def main() -> None:
                         default=[1.0, 1.5, 2.0, 3.0, 4.0])
     parser.add_argument("--platform", default="default",
                         choices=["default", "cpu"])
-    parser.add_argument("--wire", default="int16", choices=["int16", "int8"],
+    parser.add_argument("--wire", default="int16",
+                        choices=["int16", "int8", "int4"],
                         help="int8: evaluate the PRODUCTION wire (host-side "
                              "trim + z-score + sigma/16 quantisation) so the "
                              "robustness table covers what classify ships by "
@@ -63,7 +64,7 @@ def main() -> None:
     # trim, in batch assembly) — exactly the classify CLI's default path.
     pre = PreprocessConfig(window=net_cfg.input_length,
                            stride=net_cfg.input_length // 2,
-                           host_trim=args.wire == "int8", wire=args.wire)
+                           host_trim=args.wire != "int16", wire=args.wire)
     program = ClassifyProgram(
         model, ClassifyConfig(pre, CallingConfig(), False), variables
     )

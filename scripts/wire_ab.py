@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""int16 vs int8 wire A/B on the real chip, one process, same tunnel-day.
+"""Wire-format A/B (int16 / int8 / int4) on the real chip, one process.
 
 Round-4 follow-on to the shm transport work: with the link as the wall,
 halving signal bytes (ops.preprocess.PreprocessConfig.wire='int8') should
@@ -64,7 +64,7 @@ def main() -> None:
                               if barcode.startswith("barcode") else 0)
 
     programs = {}
-    for wire in ("int16", "int8"):
+    for wire in ("int16", "int8", "int4"):
         programs[wire] = bench._build_program(False, False, host_trim=True,
                                               wire=wire)
 
@@ -79,8 +79,7 @@ def main() -> None:
     calls = {}
     for wire, (program, cfg) in programs.items():
         spec = batch_spec_for(cfg.preprocess, args.batch_size, False)
-        batch_bytes = spec.batch_size * (
-            spec.buffer_size * spec.wire_itemsize + 4)
+        batch_bytes = spec.batch_size * (spec.wire_row_bytes + 4)
 
         # Device-step ceiling: batches resident in host RAM.
         reads = [(f"r{i}",
@@ -103,7 +102,7 @@ def main() -> None:
 
         # Streaming with the production transport.
         with ReaderPool(num_workers=2, use_native=True, batch_spec=spec,
-                        shm_slots=8) as pool:
+                        shm_slots=20) as pool:
             wire_calls = {}
             per_pass = []
             mbps = []
@@ -111,7 +110,8 @@ def main() -> None:
                 stats = ExecutorStats()
                 t0 = time.monotonic()
                 for result in classify_batches(
-                    program, pool.iter_batches(files, stats), stats=stats,
+                    program, pool.iter_batches(files, stats, copy=False),
+                    stats=stats,
                 ):
                     if pass_i == 0:
                         wire_calls[result.read_id] = result.call
@@ -129,14 +129,14 @@ def main() -> None:
              per_pass_h2d_mbps=mbps, reads=len(wire_calls),
              exact_vs_truth=exact, wrong_barcode_vs_truth=wrong)
 
-    shared = set(calls["int16"]) & set(calls["int8"])
-    agree = sum(1 for rid in shared
-                if calls["int16"][rid] == calls["int8"][rid])
-    diffs = [(rid, calls["int16"][rid], calls["int8"][rid])
-             for rid in shared if calls["int16"][rid] != calls["int8"][rid]]
-    emit(kind="agreement", reads=len(shared), agree=agree,
-         agreement=round(agree / max(len(shared), 1), 5),
-         first_disagreements=diffs[:10])
+    for a, b in (("int16", "int8"), ("int8", "int4"), ("int16", "int4")):
+        shared = set(calls[a]) & set(calls[b])
+        agree = sum(1 for rid in shared if calls[a][rid] == calls[b][rid])
+        diffs = [(rid, calls[a][rid], calls[b][rid])
+                 for rid in shared if calls[a][rid] != calls[b][rid]]
+        emit(kind="agreement", pair=f"{a}-vs-{b}", reads=len(shared),
+             agree=agree, agreement=round(agree / max(len(shared), 1), 5),
+             first_disagreements=diffs[:10])
 
 
 if __name__ == "__main__":
