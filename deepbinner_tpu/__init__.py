@@ -26,7 +26,7 @@ subcommands (``bin``) never pay for them — mirroring the reference's lazy
 subcommand imports.
 """
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 # Public kit names, as in the reference CLI (--kit choices).
 KITS = ("EXP-NBD103", "SQK-RBK004")
