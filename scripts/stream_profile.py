@@ -66,7 +66,7 @@ def main() -> None:
     program, cfg = bench._build_program(False, False, host_trim=True,
                                         wire=args.wire)
     spec = batch_spec_for(cfg.preprocess, args.batch_size, False)
-    batch_bytes = spec.batch_size * (spec.buffer_size * spec.wire_itemsize + 4)
+    batch_bytes = spec.batch_size * (spec.wire_row_bytes + 4)
 
     def emit(kind, **payload):
         print(json.dumps({"kind": kind, **payload}), flush=True)

@@ -153,7 +153,10 @@ def test_two_process_classify_e2e_matches_single_process(tmp_path):
 
     single_proc = run({})
     single_out, single_err = single_proc.communicate(timeout=600)
-    assert single_proc.returncode == 0, f"single failed:\n{single_err[-3000:]}"
+    assert single_proc.returncode == 0, (
+        f"single failed (rc {single_proc.returncode}):\n"
+        f"stdout:\n{single_out[-1000:]}\nstderr:\n{single_err[-3000:]}"
+    )
     assert single_out.count("\n") >= 15  # header + 14 reads
 
     coordinator = f"localhost:{_free_port()}"
@@ -179,7 +182,10 @@ def test_two_process_classify_e2e_matches_single_process(tmp_path):
     outputs = []
     for proc in procs:
         out, err = proc.communicate(timeout=600)
-        assert proc.returncode == 0, f"dist worker failed:\n{err[-3000:]}"
+        assert proc.returncode == 0, (
+            f"dist worker failed (rc {proc.returncode}):\n"
+            f"stdout:\n{out[-1000:]}\nstderr:\n{err[-3000:]}"
+        )
         outputs.append((strip_gloo(out), err))
 
     # both processes classified a non-empty shard (the work really split)
