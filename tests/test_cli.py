@@ -61,6 +61,27 @@ def test_classify_deterministic(dataset, tiny_model, capsys):
     assert out1 == out2
 
 
+@pytest.mark.parametrize("wire", ["int16", "int8", "int4"])
+def test_classify_wire_flag_e2e(dataset, tiny_model, capsys, wire):
+    """Every --wire format runs the CLI end-to-end and emits a complete,
+    deterministic table (the wires' call-level agreement on real scales
+    is pinned on-chip in BENCH_WIRE_r05.jsonl; here: plumbing + shapes)."""
+    root, truth = dataset
+    out = _classify(root, tiny_model, capsys, extra=("--wire", wire))
+    lines = [l for l in out.splitlines() if l]
+    calls = dict(l.split("\t")[:2] for l in lines[1:])
+    assert set(calls) == set(truth)
+    out2 = _classify(root, tiny_model, capsys, extra=("--wire", wire))
+    assert out == out2
+
+
+def test_classify_wire_int4_rejects_device_trim(dataset, tiny_model, capsys):
+    root, _ = dataset
+    with pytest.raises(SystemExit):
+        _classify(root, tiny_model, capsys,
+                  extra=("--wire", "int4", "--device_trim"))
+
+
 def test_classify_shard_resume(dataset, tiny_model, capsys, tmp_path):
     """Kill-and-rerun with --shard_dir: byte-identical output, finished
     shards are NOT reclassified (round-1 VERDICT item 6)."""
