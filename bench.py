@@ -547,7 +547,7 @@ def main() -> None:
         dual = measure_tpu(fast5_dir, args.batch_size, args.reader_processes,
                            use_pallas=args.pallas,
                            native_reader=not args.no_native_reader,
-                           passes=1, dual=True,
+                           passes=3, dual=True,
                            host_trim=not args.device_trim,
                            shm_slots=0 if args.no_shm else 20,
                            wire=wire)
@@ -557,6 +557,7 @@ def main() -> None:
             "value": round(dual["reads_per_s"], 2),
             "unit": "reads/s/chip",
             "vs_baseline": round(dvs, 2),
+            "per_pass": dual.get("per_pass_reads_per_s"),
         }), file=sys.stderr)
     except Exception as error:  # noqa: BLE001
         print(f"[bench] dual-model extra failed: {error}", file=sys.stderr)
