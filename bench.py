@@ -93,6 +93,40 @@ def ensure_dataset_pod5(n_reads: int, reads_per_file: int = 256) -> str:
     return out_dir
 
 
+def ensure_dataset_multiread(n_reads: int, reads_per_file: int = 256) -> str:
+    """Repack the bench dataset as multi-read fast5s (cached).
+
+    Modern MinKNOW writes multi-read files (hundreds-thousands of reads
+    each); the single-read layout pays a libhdf5 file open per read
+    (150-226 µs/file on this host).  Same reads/truth as the single-read
+    dataset.  Returns the multi-read directory.
+    """
+    from deepbinner_tpu.utils.fast5 import (
+        find_all_fast5s,
+        iterate_reads_in_fast5,
+        write_multi_read_fast5,
+    )
+
+    fast5_dir = ensure_dataset(n_reads)
+    out_dir = fast5_dir.rstrip("/") + "_multi"
+    marker = os.path.join(out_dir, ".complete")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    reads = []
+    for path in find_all_fast5s(os.path.dirname(fast5_dir)):
+        reads.extend(iterate_reads_in_fast5(path))
+    reads.sort(key=lambda item: item[0])  # deterministic packing
+    for k in range(0, len(reads), reads_per_file):
+        write_multi_read_fast5(
+            os.path.join(out_dir, f"batch_{k // reads_per_file:04d}.fast5"),
+            reads[k : k + reads_per_file],
+        )
+    with open(marker, "w") as handle:
+        handle.write(f"{len(reads)}\n")
+    return out_dir
+
+
 def load_flagship(path: str = MODEL_FILE):
     import jax
 
@@ -433,11 +467,13 @@ def main() -> None:
                              "100%% call agreement vs int16 on 4096 reads, "
                              "BENCH_WIRE_r04.jsonl; int16 = lossless raw)")
     parser.add_argument("--format", default="fast5",
-                        choices=["fast5", "pod5"],
-                        help="signal container format for the dataset "
-                             "(pod5: same reads repacked 256/container, "
-                             "decoded chunk-lazily by the workers' "
-                             "pure-Python pod5+vbz parser)")
+                        choices=["fast5", "multifast5", "pod5"],
+                        help="signal container format for the dataset: "
+                             "fast5 = one read per file (the r1-r5 "
+                             "contract workload); multifast5 = modern "
+                             "MinKNOW multi-read files (256/file); pod5 "
+                             "= same reads repacked 256/container "
+                             "through the native vbz decoder")
     parser.add_argument("--no-shm", action="store_true",
                         help="use the pickled-queue batch transport instead "
                              "of the shared-memory ring (A/B the transport)")
@@ -485,12 +521,14 @@ def main() -> None:
     baseline = get_baseline(args)
     fast5_dir = ensure_dataset(args.reads)
     files = None
-    if args.format == "pod5":
+    if args.format != "fast5":
         from deepbinner_tpu.utils.fast5 import find_signal_files
 
-        pod5_dir = ensure_dataset_pod5(args.reads)
-        files = find_signal_files(pod5_dir)
-        print(f"[bench] pod5 dataset: {len(files)} container(s)",
+        container_dir = (ensure_dataset_pod5(args.reads)
+                         if args.format == "pod5"
+                         else ensure_dataset_multiread(args.reads))
+        files = find_signal_files(container_dir)
+        print(f"[bench] {args.format} dataset: {len(files)} container(s)",
               file=sys.stderr, flush=True)
     print("[bench] dataset+baseline ready; claiming device …",
           file=sys.stderr, flush=True)
