@@ -79,6 +79,11 @@ HEADLINES = [
      "artifacts": ["BENCH_POD5_r05.jsonl"]},
     {"claim": "3925.1", "docs": ["docs/performance.md"],
      "artifacts": ["BENCH_POD5_r05.jsonl"]},
+    # int4 + multifast5 best-config streaming (r5 container A/B).
+    {"claim": "5111.3", "docs": ["docs/performance.md"],
+     "artifacts": ["BENCH_WIRE_r05.jsonl"]},
+    {"claim": "5496.4", "docs": ["docs/performance.md"],
+     "artifacts": ["BENCH_WIRE_r05.jsonl"]},
     # shm-vs-pickle transport A/B per-pass peaks.
     {"claim": "2094.9", "docs": ["docs/performance.md"],
      "artifacts": ["BENCH_STREAM_r04.jsonl"]},
