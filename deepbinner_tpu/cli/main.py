@@ -240,6 +240,13 @@ def _add_simulate_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--synthetic_barcodes", action="store_true",
                         help="Use seeded random barcode sequences instead "
                              "of the real ONT kit sequences")
+    parser.add_argument("--container", default="fast5",
+                        choices=["fast5", "multifast5", "pod5"],
+                        help="signal container layout: one read per fast5 "
+                             "(classic), multi-read fast5 (modern MinKNOW), "
+                             "or pod5 (vbz-compressed; no move tables)")
+    parser.add_argument("--reads_per_container", type=int, default=256,
+                        help="reads per multifast5/pod5 container")
 
 
 def main(argv: Optional[List[str]] = None) -> None:
@@ -279,6 +286,8 @@ def main(argv: Optional[List[str]] = None) -> None:
             none_reads=args.none_reads,
             genome_length=args.genome_length, seed=args.seed,
             synthetic=args.synthetic_barcodes,
+            container=args.container,
+            reads_per_container=args.reads_per_container,
         )
         from deepbinner_tpu.utils.log import log
         log(f"wrote {len(truth)} simulated reads to {args.out_dir}")

@@ -225,6 +225,8 @@ def make_dataset(
     seed: int = 0,
     write_fastq: bool = True,
     synthetic: bool = False,
+    container: str = "fast5",
+    reads_per_container: int = 256,
 ) -> Dict[str, int]:
     """Write a labelled synthetic dataset.
 
@@ -234,8 +236,15 @@ def make_dataset(
       truth.tsv                — read_ID<TAB>barcode_call ground truth
       dataset.json             — generation parameters
 
+    ``container``: 'fast5' (one read per file, classic MinKNOW),
+    'multifast5' (modern multi-read files, ``reads_per_container`` each,
+    move tables carried per read), or 'pod5' (vbz-compressed containers;
+    no move tables — pod5 runs are `prep`-ed via --assignments instead).
+
     Returns {read_id: true_barcode}.
     """
+    if container not in ("fast5", "multifast5", "pod5"):
+        raise ValueError(f"unknown container {container!r}")
     out_dir = os.fspath(out_dir)
     fast5_dir = os.path.join(out_dir, "fast5s")
     os.makedirs(fast5_dir, exist_ok=True)
@@ -243,6 +252,8 @@ def make_dataset(
 
     truth: Dict[str, int] = {}
     fastq_records = []
+    pending = []  # (read_id, signal) for container formats
+    moves = {}
     labels = [0] * none_reads + [
         b for b in range(1, NUM_BARCODES + 1) for _ in range(reads_per_barcode)
     ]
@@ -250,12 +261,34 @@ def make_dataset(
         read = simulate_read(kit, label, rng, genome_length=genome_length,
                              synthetic=synthetic)
         truth[read.read_id] = read.barcode
-        path = os.path.join(fast5_dir, f"{read.read_id}.fast5")
-        write_single_read_fast5(path, read.read_id, read.signal)
-        _append_move_table(path, read)
+        if container == "fast5":
+            path = os.path.join(fast5_dir, f"{read.read_id}.fast5")
+            write_single_read_fast5(path, read.read_id, read.signal)
+            _append_move_table(path, read)
+        else:
+            pending.append((read.read_id, read.signal))
+            moves[read.read_id] = (read.signal_start_of_bases, read.dwells)
         if write_fastq:
             quals = phred_quals(rng, len(read.sequence))
             fastq_records.append(f"@{read.read_id}\n{read.sequence}\n+\n{quals}\n")
+
+    if container != "fast5":
+        from deepbinner_tpu.utils.fast5 import write_multi_read_fast5
+
+        for k in range(0, len(pending), reads_per_container):
+            chunk = pending[k : k + reads_per_container]
+            if container == "multifast5":
+                write_multi_read_fast5(
+                    os.path.join(fast5_dir, f"batch_{k // reads_per_container:04d}.fast5"),
+                    chunk, moves={r: moves[r] for r, _s in chunk},
+                )
+            else:
+                from deepbinner_tpu.utils.pod5 import write_pod5
+
+                write_pod5(
+                    os.path.join(fast5_dir, f"batch_{k // reads_per_container:04d}.pod5"),
+                    chunk,
+                )
 
     if write_fastq:
         with open(os.path.join(out_dir, "reads.fastq"), "w") as handle:
@@ -269,6 +302,7 @@ def make_dataset(
             {"kit": kit, "reads_per_barcode": reads_per_barcode,
              "none_reads": none_reads, "seed": seed,
              "genome_length": genome_length,
+             "container": container,
              "barcodes": "synthetic" if synthetic else "real-kit"},
             handle, indent=2,
         )

@@ -27,7 +27,8 @@ def main():
     parser.add_argument("--require-both", action="store_true")
     parser.add_argument("--seed", type=int, default=4242)
     parser.add_argument("--platform", default="default", choices=["default", "cpu"])
-    parser.add_argument("--wire", default="int16", choices=["int16", "int8"])
+    parser.add_argument("--wire", default="int16",
+                        choices=["int16", "int8", "int4"])
     parser.add_argument("--noise", type=float, default=1.0,
                         help="eval-time squiggle-noise scale (robustness "
                              "grid rows for the dual modes — round-4 "
@@ -54,7 +55,7 @@ def main():
 
     pre = PreprocessConfig(window=net_cfg.input_length,
                            stride=net_cfg.input_length // 2,
-                           host_trim=args.wire == "int8", wire=args.wire)
+                           host_trim=args.wire != "int16", wire=args.wire)
     cfg = ClassifyConfig(
         pre, CallingConfig(require_both=args.require_both), dual_model=True
     )

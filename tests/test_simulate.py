@@ -59,3 +59,38 @@ def test_make_dataset(tmp_path):
     assert read_id in truth and signal.size > 1000
     assert (tmp_path / "reads.fastq").exists()
     assert (tmp_path / "truth.tsv").exists()
+
+
+def test_make_dataset_container_layouts_same_reads(tmp_path):
+    """multifast5 and pod5 layouts carry byte-identical reads + truth to
+    the single-read layout, and the classify CLI reads all three to the
+    same calls (one program; containers only change the decode path)."""
+    import numpy as np
+
+    from deepbinner_tpu.utils import fast5 as fast5_io
+    from deepbinner_tpu.utils.simulate import make_dataset
+
+    truths, reads = {}, {}
+    for container in ("fast5", "multifast5", "pod5"):
+        root = tmp_path / container
+        truths[container] = make_dataset(
+            root, reads_per_barcode=1, none_reads=2, genome_length=300,
+            seed=77, write_fastq=False, container=container,
+            reads_per_container=5,
+        )
+        got = {}
+        for path in fast5_io.find_signal_files(root):
+            for read_id, signal in fast5_io.read_signal_file(path):
+                got[read_id] = signal
+        reads[container] = got
+
+    assert truths["multifast5"] == truths["fast5"]
+    assert truths["pod5"] == truths["fast5"]
+    assert set(reads["fast5"]) == set(reads["multifast5"]) == set(reads["pod5"])
+    for read_id, signal in reads["fast5"].items():
+        np.testing.assert_array_equal(reads["multifast5"][read_id], signal)
+        np.testing.assert_array_equal(reads["pod5"][read_id], signal)
+    # multifast5 carries per-read move tables (prep needs them)
+    multi = [p for p in fast5_io.find_signal_files(tmp_path / "multifast5")]
+    moves = fast5_io.get_move_tables(multi[0])
+    assert moves and all(len(m) == 2 for m in moves.values())
