@@ -79,6 +79,11 @@ HEADLINES = [
      "artifacts": ["BENCH_POD5_r05.jsonl"]},
     {"claim": "3925.1", "docs": ["docs/performance.md"],
      "artifacts": ["BENCH_POD5_r05.jsonl"]},
+    # 8192-read pass vs same-run ceiling (fill/drain analysis).
+    {"claim": "5157.2", "docs": ["docs/performance.md", "BASELINE.md"],
+     "artifacts": ["BENCH_BATCH_r05.jsonl"]},
+    {"claim": "7197.6", "docs": ["docs/performance.md", "BASELINE.md"],
+     "artifacts": ["BENCH_BATCH_r05.jsonl"]},
     # int4 + multifast5 best-config streaming (r5 container A/B).
     {"claim": "5111.3", "docs": ["docs/performance.md"],
      "artifacts": ["BENCH_WIRE_r05.jsonl"]},
