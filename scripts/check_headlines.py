@@ -67,12 +67,18 @@ HEADLINES = [
      "artifacts": ["EVAL_ROBUSTNESS_r05.jsonl"]},
     {"claim": "98.46", "artifact_claim": "0.9846", "docs": ["BASELINE.md"],
      "artifacts": ["EVAL_ROBUSTNESS_r05.jsonl"]},
-    # Round-5 builder validation of the full default contract.
+    # Round-5 builder validations of the full default contract.
     {"claim": "4204.6", "docs": ["BASELINE.md"],
      "artifacts": ["BENCH_VALIDATE_r05.jsonl"]},
     {"claim": "92.99", "docs": ["BASELINE.md"],
      "artifacts": ["BENCH_VALIDATE_r05.jsonl"]},
     {"claim": "3072.12", "docs": ["BASELINE.md"],
+     "artifacts": ["BENCH_VALIDATE_r05.jsonl"]},
+    {"claim": "4499.91", "docs": ["BASELINE.md"],
+     "artifacts": ["BENCH_VALIDATE_r05.jsonl"]},
+    {"claim": "112.58", "docs": ["BASELINE.md"],
+     "artifacts": ["BENCH_VALIDATE_r05.jsonl"]},
+    {"claim": "3109.93", "docs": ["BASELINE.md"],
      "artifacts": ["BENCH_VALIDATE_r05.jsonl"]},
     # pod5-vs-fast5 same-process A/B (r5, native vbz unpack).
     {"claim": "4867.8", "docs": ["docs/performance.md"],
