@@ -74,9 +74,9 @@ HEADLINES = [
      "artifacts": ["BENCH_VALIDATE_r05.jsonl"]},
     {"claim": "3072.12", "docs": ["BASELINE.md"],
      "artifacts": ["BENCH_VALIDATE_r05.jsonl"]},
-    {"claim": "4499.91", "docs": ["BASELINE.md"],
+    {"claim": "4499.91", "docs": ["README.md", "BASELINE.md"],
      "artifacts": ["BENCH_VALIDATE_r05.jsonl"]},
-    {"claim": "112.58", "docs": ["BASELINE.md"],
+    {"claim": "112.58", "docs": ["README.md", "BASELINE.md"],
      "artifacts": ["BENCH_VALIDATE_r05.jsonl"]},
     {"claim": "3109.93", "docs": ["BASELINE.md"],
      "artifacts": ["BENCH_VALIDATE_r05.jsonl"]},
@@ -91,7 +91,7 @@ HEADLINES = [
     {"claim": "7197.6", "docs": ["docs/performance.md", "BASELINE.md"],
      "artifacts": ["BENCH_BATCH_r05.jsonl"]},
     # int4 + multifast5 best-config streaming (r5 container A/B).
-    {"claim": "5111.3", "docs": ["docs/performance.md"],
+    {"claim": "5111.3", "docs": ["README.md", "docs/performance.md"],
      "artifacts": ["BENCH_WIRE_r05.jsonl"]},
     {"claim": "5496.4", "docs": ["docs/performance.md"],
      "artifacts": ["BENCH_WIRE_r05.jsonl"]},
