@@ -159,15 +159,17 @@ def test_two_process_classify_e2e_matches_single_process(tmp_path):
     )
     assert single_out.count("\n") >= 15  # header + 14 reads
 
-    coordinator = f"localhost:{_free_port()}"
-    procs = [
-        run({
-            "JAX_COORDINATOR_ADDRESS": coordinator,
-            "JAX_NUM_PROCESSES": "2",
-            "JAX_PROCESS_ID": str(pid),
-        })
-        for pid in range(2)
-    ]
+    def launch_pair():
+        coordinator = f"localhost:{_free_port()}"
+        return [
+            run({
+                "JAX_COORDINATOR_ADDRESS": coordinator,
+                "JAX_NUM_PROCESSES": "2",
+                "JAX_PROCESS_ID": str(pid),
+            })
+            for pid in range(2)
+        ]
+
     def strip_gloo(out: str) -> str:
         # jax's CPU collectives (Gloo) print connection banners on *stdout*,
         # in two observed shapes: "[Gloo] ..." and a bare "<rank> is
@@ -179,14 +181,25 @@ def test_two_process_classify_e2e_matches_single_process(tmp_path):
             and "connected peer ranks" not in line
         )
 
-    outputs = []
-    for proc in procs:
-        out, err = proc.communicate(timeout=600)
-        assert proc.returncode == 0, (
-            f"dist worker failed (rc {proc.returncode}):\n"
-            f"stdout:\n{out[-1000:]}\nstderr:\n{err[-3000:]}"
-        )
-        outputs.append((strip_gloo(out), err))
+    # One retry: the pair launch has flaked under full-suite load (a worker
+    # exiting non-zero with nothing on stderr — coordinator port/timing
+    # sensitivity on this 2-vCPU host).  The retry prints the first
+    # attempt's diagnostics so a REAL failure is never silent, and every
+    # correctness assertion below still runs against the attempt that
+    # completed.
+    for attempt in range(2):
+        outputs = []
+        failure = None
+        for proc in launch_pair():
+            out, err = proc.communicate(timeout=600)
+            if proc.returncode != 0 and failure is None:
+                failure = (f"dist worker failed (rc {proc.returncode}):\n"
+                           f"stdout:\n{out[-1000:]}\nstderr:\n{err[-3000:]}")
+            outputs.append((strip_gloo(out), err))
+        if failure is None:
+            break
+        print(f"[attempt {attempt}] {failure}", file=sys.stderr)
+    assert failure is None, failure
 
     # both processes classified a non-empty shard (the work really split)
     # over a real LOCAL 2-device data-parallel mesh (the fixed code path)
