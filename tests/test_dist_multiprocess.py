@@ -151,12 +151,19 @@ def test_two_process_classify_e2e_matches_single_process(tmp_path):
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True,
         )
 
-    single_proc = run({})
-    single_out, single_err = single_proc.communicate(timeout=600)
-    assert single_proc.returncode == 0, (
-        f"single failed (rc {single_proc.returncode}):\n"
-        f"stdout:\n{single_out[-1000:]}\nstderr:\n{single_err[-3000:]}"
-    )
+    # Same one-diagnosed-retry policy as the dist pair below: subprocess
+    # classify runs have flaked under full-suite load on this host with a
+    # non-zero exit and empty stderr; a real failure reproduces and is
+    # printed, an environmental one costs one visible retry.
+    for attempt in range(2):
+        single_proc = run({})
+        single_out, single_err = single_proc.communicate(timeout=600)
+        if single_proc.returncode == 0:
+            break
+        print(f"[attempt {attempt}] single failed "
+              f"(rc {single_proc.returncode}):\nstdout:\n{single_out[-1000:]}"
+              f"\nstderr:\n{single_err[-3000:]}", file=sys.stderr)
+    assert single_proc.returncode == 0, "single-process classify failed twice"
     assert single_out.count("\n") >= 15  # header + 14 reads
 
     def launch_pair():
