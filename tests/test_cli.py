@@ -75,6 +75,28 @@ def test_classify_wire_flag_e2e(dataset, tiny_model, capsys, wire):
     assert out == out2
 
 
+@pytest.mark.parametrize("container", ["multifast5", "pod5"])
+def test_classify_container_layout_identical_table(tiny_model, capsys,
+                                                   tmp_path, container):
+    """The same simulated reads packed as multi-read fast5 or pod5
+    containers classify to a byte-identical table through the unmodified
+    CLI (same generation parameters ⇒ same reads; only the decode path
+    differs).  Both datasets are generated here with identical settings —
+    `write_fastq` also draws from the RNG, so layouts must share ALL
+    generation parameters for read-identity."""
+    kwargs = dict(kit="EXP-NBD103", reads_per_barcode=1, none_reads=2,
+                  genome_length=600, seed=11, write_fastq=False)
+    single_root = tmp_path / "single"
+    truth_single = simulate.make_dataset(single_root, **kwargs)
+    packed_root = tmp_path / container
+    truth_packed = simulate.make_dataset(packed_root, container=container,
+                                         reads_per_container=5, **kwargs)
+    assert truth_packed == truth_single  # identical reads generated
+    want = _classify(single_root, tiny_model, capsys)
+    got = _classify(packed_root, tiny_model, capsys)
+    assert got == want
+
+
 def test_classify_wire_int4_rejects_device_trim(dataset, tiny_model, capsys):
     root, _ = dataset
     with pytest.raises(SystemExit):
